@@ -1,0 +1,116 @@
+"""FFT-overlap-add fixed-ratio resampler (host and JAX paths).
+
+Capability parity with the reference's `rubato::FftFixedInOut<f32>` resampler
+(/root/reference/src/audio/encoder.rs:1,72-78): fixed input/output chunk sizes
+derived from the rate ratio, anti-aliasing low-pass applied in the frequency
+domain, one-chunk overlap-add state.
+
+The algorithm was reconstructed behaviourally against the reference's committed
+golden outputs (tests/resources/band-pass_example.wav and friends, which are
+resample(real_sample.wav 48k→16k) + filter chains): the identified construction
+matches those waveforms to ~3.5e-5 absolute (the f32 noise floor of the
+reference pipeline):
+
+  fft_size_in  = chunk_in  (1440 for 48k→16k at 30 ms)
+  fft_size_out = chunk_out (480)
+  filter_t[n]  = W[n]·sinc((n - N_in/2)·cutoff) / Σ / (2·N_in),  n < N_in
+                 where W = (periodic 4-term Blackman-Harris over N_in)²
+  cutoff       = K · N_out/N_in (downsampling), with K = 0.9716115 recovered
+                 by least-squares filter identification from the goldens
+  per chunk: X = rfft([chunk, 0…], 2N_in) · rfft(filter_t)
+             Y = X[:N_out+1]  (spectrum truncation = resampling)
+             y = irfft(Y, 2N_out) · 2N_out  (unnormalized inverse)
+             out = y[:N_out] + overlap;  overlap' = y[N_out:]
+
+The resampler introduces N_out/2 output samples of latency (the filter's group
+delay), matching the reference's streaming behaviour — no compensation.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+# Anti-aliasing cutoff scale, relative to the output Nyquist. Recovered by
+# filter identification from the reference goldens for the 3:1 ratio; for other
+# ratios (no goldens exist) the same constant keeps the stopband at the output
+# Nyquist with the BH^2 transition width of an N_in-tap filter.
+CUTOFF_SCALE = 0.9716115
+
+
+def _blackman_harris_periodic(n: int) -> np.ndarray:
+    m = np.arange(n, dtype=np.float64)
+    a = 2.0 * math.pi * m / n
+    return 0.35875 - 0.48829 * np.cos(a) + 0.14128 * np.cos(2 * a) - 0.01168 * np.cos(3 * a)
+
+
+def _sinc(x: np.ndarray) -> np.ndarray:
+    return np.sinc(x)  # sin(pi x)/(pi x)
+
+
+def design_filter(fft_size_in: int, fft_size_out: int) -> np.ndarray:
+    """Time-domain anti-aliasing filter, length 2*fft_size_in (second half 0)."""
+    n = np.arange(fft_size_in, dtype=np.float64)
+    if fft_size_in > fft_size_out:
+        cutoff = CUTOFF_SCALE * fft_size_out / fft_size_in
+    else:
+        cutoff = CUTOFF_SCALE
+    w = _blackman_harris_periodic(fft_size_in) ** 2
+    s = w * _sinc((n - fft_size_in / 2.0) * cutoff)
+    s = s / s.sum()
+    filter_t = np.zeros(2 * fft_size_in, dtype=np.float64)
+    filter_t[:fft_size_in] = s / (2.0 * fft_size_in)
+    return filter_t
+
+
+def chunk_sizes(sample_rate_in: int, sample_rate_out: int, chunk_size_out: int) -> tuple[int, int]:
+    """Input/output chunk lengths for a fixed-ratio resampler.
+
+    Mirrors the reference's observable sizing: 30 ms at 48k → 1440 in / 480 out
+    (encoder.rs:72-85 via rubato's input_frames_next)."""
+    g = math.gcd(sample_rate_in, sample_rate_out)
+    min_out = sample_rate_out // g
+    fft_chunks = -(-chunk_size_out // min_out)  # ceil
+    out = fft_chunks * min_out
+    inp = fft_chunks * (sample_rate_in // g)
+    return inp, out
+
+
+@dataclass
+class FftResampler:
+    """Stateful host-side resampler (one stream). The stateless per-chunk core
+    is exposed separately for the batched JAX runtime (see `resample_chunk_np`
+    and runtime/stream_step.py which re-implements it with jnp)."""
+
+    fft_size_in: int
+    fft_size_out: int
+
+    def __post_init__(self):
+        self.filter_f = np.fft.rfft(design_filter(self.fft_size_in, self.fft_size_out))
+        self.overlap = np.zeros(self.fft_size_out, dtype=np.float64)
+
+    def reset(self) -> None:
+        self.overlap[:] = 0.0
+
+    def process(self, chunk: np.ndarray) -> np.ndarray:
+        """chunk: (fft_size_in,) float → (fft_size_out,) float32."""
+        y, self.overlap = resample_chunk_np(
+            np.asarray(chunk, dtype=np.float64),
+            self.overlap,
+            self.filter_f,
+            self.fft_size_out,
+        )
+        return y.astype(np.float32)
+
+
+def resample_chunk_np(
+    chunk: np.ndarray, overlap: np.ndarray, filter_f: np.ndarray, n_out: int
+) -> tuple[np.ndarray, np.ndarray]:
+    n_in = len(chunk)
+    buf = np.zeros(2 * n_in, dtype=np.float64)
+    buf[:n_in] = chunk
+    spec = np.fft.rfft(buf) * filter_f
+    trunc = spec[: n_out + 1].copy()
+    y = np.fft.irfft(trunc, 2 * n_out) * (2.0 * n_out)
+    return y[:n_out] + overlap, y[n_out:].copy()
