@@ -1,0 +1,365 @@
+"""The jitted per-frame stream step: 480 samples in → state' + detection event.
+
+This is the TPU-native re-expression of the reference's streaming hot loop
+(/root/reference/src/detector.rs:347-454 — process_audio → process_new_mfccs →
+run_detection): every data-dependent branch becomes a masked state update so
+the whole step is one traced program, vmappable over a stream batch and
+shardable over a device mesh. Branch-for-branch parity notes are inline.
+
+Key semantics reproduced exactly:
+  - gain/band-pass filters on the 480-frame, then 3 MFCC shifts
+    (detector.rs:358-375)
+  - extractor warm-up skew: first frame only once 480 samples buffered
+    (extractor.rs:69-79)
+  - find_map short-circuit: a fired detection skips the remaining shifts of
+    the current frame (detector.rs:374-375)
+  - VAD consulted (and its state advanced) only when no partial detection is
+    active (detector.rs:379-383)
+  - window push → detect-if-full → drain-oldest ordering (detector.rs:384-395)
+  - countdown/partial/counter finalization dance (detector.rs:398-432) with
+    reset-on-emit clearing window+extractor+VAD but not filters
+    (detector.rs:290-302)
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import SAMPLES_PER_FRAME, SAMPLES_PER_SHIFT
+from ..ops import frontend
+from ..ops.dtw import band_costs, banded_dtw_batch
+from ..ops.scoring import cost_to_score, nn_inverse_similarity, percentile_sorted
+from ..config import ScoreMode
+from ..wakewords import nn as nn_mod
+from .bundle import StepParams, StepStatic
+from .state import Event, StreamState, VAD_VOICE_FRAMES, VAD_WINDOW
+
+INF = jnp.float32(jnp.inf)
+
+
+# ------------------------------------------------------------------ scoring
+
+def _reduce_mode(scores: jnp.ndarray, kvalid: jnp.ndarray, mode: ScoreMode) -> jnp.ndarray:
+    """Score-mode reduction over the (possibly padded) template axis.
+    scores: (D, K); kvalid: (D,) actual template counts."""
+    K = scores.shape[-1]
+    valid = jnp.arange(K)[None, :] < kvalid[:, None]
+    if mode == ScoreMode.AVERAGE:
+        return jnp.sum(jnp.where(valid, scores, 0.0), axis=-1) / kvalid.astype(jnp.float32)
+    if mode == ScoreMode.MAX:
+        return jnp.max(jnp.where(valid, scores, -INF), axis=-1)
+    pct = {
+        ScoreMode.MEDIAN: 50.0, ScoreMode.P50: 50.0, ScoreMode.P25: 25.0,
+        ScoreMode.P75: 75.0, ScoreMode.P80: 80.0, ScoreMode.P90: 90.0,
+        ScoreMode.P95: 95.0,
+    }[mode]
+    s = jnp.sort(jnp.where(valid, scores, INF), axis=-1)
+    index = jnp.float32(pct) / 100.0 * (kvalid.astype(jnp.float32) - 1.0)
+    ifloor = jnp.floor(index)
+    i = ifloor.astype(jnp.int32)
+    d = index - ifloor
+    lo = jnp.take_along_axis(s, i[:, None], axis=-1)[:, 0]
+    hi = jnp.take_along_axis(s, jnp.minimum(i + 1, kvalid - 1)[:, None], axis=-1)[:, 0]
+    return jnp.where(ifloor == index, lo, lo * (1.0 - d) + hi * d)
+
+
+def _dtw_scores(static: StepStatic, params: StepParams, win: jnp.ndarray):
+    """Score the live window against every DTW wakeword.
+
+    Returns (detected, score, avg_score, scores_mat) over the D axis.
+    Parity: wakeword_comp.rs:77-152 — per-template window truncation + CMN,
+    banded DTW, avg-template gate as a mask (the TPU 'masked prune'), score
+    mode reduction, strict `score > threshold`.
+    """
+    D, K, L = static.n_dtw, static.kmax, static.lmax
+    w = static.band_size
+    cums = jnp.cumsum(win, axis=0)  # (F, C)
+
+    # per-template normalized windows: (D, K, L, C)
+    t_lens = params.dtw_lens  # (D, K)
+    means = cums[t_lens - 1] / t_lens[..., None].astype(jnp.float32)  # (D, K, C)
+    normwin = win[None, None, :L, :] - means[..., None, :]
+    costs = band_costs(params.dtw_templates, normwin, w)  # (D, K, L, 2w)
+    sims = banded_dtw_batch(
+        costs.reshape(D * K, L, 2 * w), t_lens.reshape(-1), w
+    ).reshape(D, K)
+    norm_cost = sims / (2.0 * t_lens.astype(jnp.float32))
+    tscores = cost_to_score(norm_cost, static.score_ref)  # (D, K)
+    score = _reduce_mode(tscores, params.dtw_kvalid, static.score_mode)
+
+    # averaged-template gate (wakeword_comp.rs:85-94): branch → mask
+    La = static.la_max
+    a_lens = params.dtw_avg_len  # (D,)
+    a_means = cums[a_lens - 1] / a_lens[:, None].astype(jnp.float32)  # (D, C)
+    a_normwin = win[None, :La, :] - a_means[:, None, :]
+    a_costs = band_costs(params.dtw_avg, a_normwin, w)  # (D, La, 2w)
+    a_sims = banded_dtw_batch(a_costs, a_lens, w)
+    avg_score_raw = cost_to_score(
+        a_sims / (2.0 * a_lens.astype(jnp.float32)), static.score_ref
+    )
+    gate_on = params.dtw_has_avg & (params.dtw_avg_threshold != 0.0)
+    avg_score = jnp.where(gate_on, avg_score_raw, 0.0)
+    gate_pass = jnp.where(gate_on, avg_score_raw >= params.dtw_avg_threshold, True)
+
+    detected = gate_pass & (score > params.dtw_threshold)
+    # per-template scores payload, padded to smax
+    pad = static.smax - K
+    scores_mat = jnp.pad(tscores, ((0, 0), (0, pad))) if pad else tscores
+    return detected, score, avg_score, scores_mat
+
+
+def _nn_scores_one(static: StepStatic, params: StepParams, win: jnp.ndarray, j: int):
+    """Score one NN wakeword. Parity: wakeword_nn.rs:139-163,47-124."""
+    meta = static.nn_meta[j]
+    ts = meta.train_size
+    x = win[:ts]
+    x = x - jnp.mean(x, axis=0, keepdims=True)  # CMN over the truncated window
+    logits = nn_mod.forward(params.nn_params[j], x.reshape(-1))  # (labels,)
+    n_labels = len(meta.labels)
+    # Rust max_by returns the LAST maximal element on ties
+    label_idx = n_labels - 1 - jnp.argmax(logits[::-1])
+    label_prob = logits[label_idx]
+    none_prob = logits[meta.none_idx] if meta.none_idx >= 0 else jnp.float32(0.0)
+    ref10 = jnp.float32(static.score_ref * 10.0)
+    score = nn_inverse_similarity(label_prob, none_prob, ref10)
+    calc_avg = params.avg_threshold != 0.0
+    # 'second' prob: reference's reversed max_by comparator makes this the
+    # MINIMUM of the probs not equal to label_prob (wakeword_nn.rs:75-88)
+    others = logits != label_prob
+    second = jnp.where(
+        jnp.any(others), jnp.min(jnp.where(others, logits, INF)), 0.0
+    )
+    avg_score = jnp.where(
+        calc_avg, nn_inverse_similarity(label_prob, second, ref10), 0.0
+    )
+    is_word = label_idx != meta.none_idx
+    detected = is_word & (score >= params.threshold) & (avg_score >= params.avg_threshold)
+    pad = static.smax - n_labels
+    scores_vec = jnp.pad(logits, (0, pad)) if pad else logits
+    return detected, score, avg_score, scores_vec
+
+
+def run_wakeword_detectors(static: StepStatic, params: StepParams, win: jnp.ndarray):
+    """All wakewords → best candidate (argmax score among detected).
+    Parity: detector.rs:433-447."""
+    det_list, score_list, avg_list, scores_list = [], [], [], []
+    if static.n_dtw:
+        d, s, a, m = _dtw_scores(static, params, win)
+        det_list.append(d)
+        score_list.append(s)
+        avg_list.append(a)
+        scores_list.append(m)
+    for j in range(len(static.nn_meta)):
+        d, s, a, v = _nn_scores_one(static, params, win, j)
+        det_list.append(jnp.reshape(d, (1,)))
+        score_list.append(jnp.reshape(s, (1,)))
+        avg_list.append(jnp.reshape(a, (1,)))
+        scores_list.append(v[None, :])
+    detected = jnp.concatenate(det_list)
+    score = jnp.concatenate(score_list)
+    avg = jnp.concatenate(avg_list)
+    scores = jnp.concatenate(scores_list, axis=0)
+    masked = jnp.where(detected, score, -INF)
+    best = jnp.argmax(masked)
+    any_det = jnp.any(detected)
+    return any_det, best, score[best], avg[best], scores[best]
+
+
+# ------------------------------------------------------------------ the step
+
+def make_step(static: StepStatic):
+    """Build step(params, state, samples480) -> (state', Event). Pure; jit/vmap
+    applied by callers (single stream or batched runtime)."""
+
+    F = static.max_mfcc_frames
+    Wg = static.gain_window_size
+
+    def vad_is_voice(state: StreamState, mfcc: jnp.ndarray, update: jnp.ndarray):
+        """Energy VAD (vad.rs:11-36). `update` masks all state writes (the
+        reference short-circuits is_voice when a partial is active)."""
+        value = jnp.mean(jnp.abs(mfcc))
+        vwin = jnp.where(
+            update, state.vad_win.at[state.vad_idx].set(value), state.vad_win
+        )
+        vidx = jnp.where(
+            update,
+            jnp.where(state.vad_idx >= VAD_WINDOW - 1, 0, state.vad_idx + 1),
+            state.vad_idx,
+        )
+        # min over non-NaN entries, floored at 0.01 (vad.rs:19-26)
+        mn = jnp.maximum(jnp.min(jnp.where(jnp.isnan(vwin), INF, vwin)), 0.01)
+        th = mn * jnp.float32(static.vad_factor)
+        n_high = jnp.sum(jnp.where(jnp.isnan(vwin), False, vwin > th))
+        vcount = jnp.where(update & (n_high > 10), VAD_VOICE_FRAMES, state.vad_countdown)
+        voice = vcount > 0
+        vcount = jnp.where(update & voice, vcount - 1, vcount)
+        return state._replace(vad_win=vwin, vad_idx=vidx, vad_countdown=vcount), voice
+
+    def run_detection(params: StepParams, state: StreamState, run: jnp.ndarray):
+        """detector.rs:398-432, fully masked by `run`."""
+        # countdown decrement (:399-401)
+        countdown = jnp.where(run & (state.countdown != 0), state.countdown - 1, state.countdown)
+        done = run & state.partial_active & (
+            (countdown == 0)
+            | (jnp.bool_(static.eager) & (state.partial_counter >= static.min_scores))
+        )
+        emit = done & (state.partial_counter >= static.min_scores)
+        # partial is taken whenever done (:405), dropped silently if under min
+        partial_active = state.partial_active & ~done
+        event = Event(
+            fired=emit,
+            ww=state.partial_ww,
+            score=state.partial_score,
+            avg_score=state.partial_avg,
+            counter=state.partial_counter,
+            gain=state.partial_gain,
+            scores=state.partial_scores,
+        )
+        # on emit: full reset (detector.rs:406-408,290-302) and return —
+        # detectors do NOT run this frame
+        run_detectors = run & ~emit
+        any_det, best, score, avg, scores_vec = run_wakeword_detectors(
+            static, params, state.win
+        )
+        cand = run_detectors & any_det
+        counter = jnp.where(partial_active, state.partial_counter + 1, 1)
+        replace = cand & (~partial_active | (state.partial_score < score))
+        new_partial_active = partial_active | cand
+        state = state._replace(
+            partial_active=new_partial_active & ~emit,
+            partial_ww=jnp.where(replace, best, state.partial_ww),
+            partial_score=jnp.where(replace, score, state.partial_score),
+            partial_avg=jnp.where(replace, avg, state.partial_avg),
+            partial_scores=jnp.where(replace, scores_vec, state.partial_scores),
+            partial_gain=jnp.where(replace, state.gain, state.partial_gain),
+            # counter bumps on every candidate, replacing or not (:425-428)
+            partial_counter=jnp.where(cand, counter, state.partial_counter),
+            countdown=jnp.where(cand, F // 2, countdown),
+        )
+        # reset-on-emit: clear window, extractor, vad — not filters (:290-302)
+        state = state._replace(
+            win_count=jnp.where(emit, 0, state.win_count),
+            ext_count=jnp.where(emit, 0, state.ext_count),
+            vad_win=jnp.where(emit, jnp.full_like(state.vad_win, jnp.nan), state.vad_win),
+            vad_idx=jnp.where(emit, 0, state.vad_idx),
+            vad_countdown=jnp.where(emit, 0, state.vad_countdown),
+            partial_active=jnp.where(emit, False, state.partial_active),
+        )
+        return state, event
+
+    def process_shift(params: StepParams, carry, shift):
+        """One 160-sample pre-emphasized shift (extractor.rs:69-79 +
+        detector.rs:374-397). carry = (state, halted, event)."""
+        state, halted, event0 = carry
+        active = ~halted
+        # --- extractor sliding buffer
+        full = state.ext_count >= SAMPLES_PER_FRAME
+        grown = jax.lax.dynamic_update_slice(
+            state.ext_buf, shift, (jnp.minimum(state.ext_count, SAMPLES_PER_FRAME - SAMPLES_PER_SHIFT),)
+        )
+        slid = jnp.concatenate([state.ext_buf[SAMPLES_PER_SHIFT:], shift])
+        new_buf = jnp.where(full, slid, grown)
+        new_count = jnp.where(full, SAMPLES_PER_FRAME, state.ext_count + SAMPLES_PER_SHIFT)
+        state = state._replace(
+            ext_buf=jnp.where(active, new_buf, state.ext_buf),
+            ext_count=jnp.where(active, new_count, state.ext_count),
+        )
+        emit_frame = active & full
+        consts = frontend.get_constants(static.mfcc_size + 1)
+        mfcc = frontend.mfcc_from_frames(state.ext_buf, consts)  # (C,)
+
+        # --- process_new_mfccs (detector.rs:377-397)
+        if static.vad_enabled:
+            state, voice = vad_is_voice(
+                state, mfcc, emit_frame & ~state.partial_active
+            )
+            should_run = state.partial_active | voice
+        else:
+            should_run = jnp.bool_(True)
+        # push frame
+        placed = jax.lax.dynamic_update_slice(
+            state.win, mfcc[None, :], (jnp.minimum(state.win_count, F - 1), 0)
+        )
+        win_count = jnp.where(emit_frame, state.win_count + 1, state.win_count)
+        state = state._replace(
+            win=jnp.where(emit_frame, placed, state.win), win_count=win_count
+        )
+        win_full = state.win_count >= F
+        state, event = run_detection(params, state, emit_frame & win_full & should_run)
+        # drain oldest (detector.rs:393-395) — also when detection didn't run;
+        # skipped when the emit cleared the window (win_count already 0)
+        drain = emit_frame & win_full & (state.win_count >= F)
+        state = state._replace(
+            win=jnp.where(drain, jnp.roll(state.win, -1, axis=0), state.win),
+            win_count=jnp.where(drain, F - 1, state.win_count),
+        )
+        fired = event.fired & active
+        event = event._replace(fired=fired)
+        # find_map: a fired detection halts the remaining shifts
+        out_event = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(event0.fired, a, b), event0, event
+        )
+        return (state, halted | fired, out_event), None
+
+    def step(params: StepParams, state: StreamState, samples: jnp.ndarray):
+        """samples: (480,) mono f32 @16 kHz → (state', Event)."""
+        # rms + gain normalizer (detector.rs:358-365)
+        rms = frontend.rms_level(samples)
+        state = state._replace(rms_level=rms)
+        if static.gain_enabled:
+            apply = ~jnp.isnan(params.gain_ref_sqrt) & (rms != 0.0)
+            grown = jax.lax.dynamic_update_slice(
+                state.gain_win, rms[None], (jnp.minimum(state.gain_count, Wg - 1),)
+            )
+            slid = jnp.concatenate([state.gain_win[1:], rms[None]])
+            gwin = jnp.where(state.gain_count >= Wg, slid, grown)
+            gcount = jnp.minimum(state.gain_count + 1, Wg)
+            mean = jnp.sum(
+                jnp.where(jnp.arange(Wg) < gcount, gwin, 0.0)
+            ) / gcount.astype(jnp.float32)
+            # Rust f32::round is half-away-from-zero; gain is positive
+            gain = jnp.clip(
+                jnp.floor(params.gain_ref_sqrt / jnp.sqrt(mean) * 10.0 + 0.5) / 10.0,
+                static.gain_min,
+                static.gain_max,
+            )
+            gain = jnp.where(apply, gain, 1.0)
+            state = state._replace(
+                gain_win=jnp.where(apply, gwin, state.gain_win),
+                gain_count=jnp.where(apply, gcount, state.gain_count),
+                gain=gain,
+            )
+            samples = jnp.where(
+                gain != 1.0, jnp.clip(samples * gain, -1.0, 1.0), samples
+            )
+        # band-pass (detector.rs:366-371)
+        if static.bp_enabled:
+            a0, a1, a2, b1, b2 = (jnp.float32(c) for c in static.bp_coeffs)
+
+            def bp_step(c, x):
+                x1, x2, y1, y2 = c
+                y = a0 * x + a1 * x1 + a2 * x2 - b1 * y1 - b2 * y2
+                return (x, x1, y, y1), y
+
+            (x1, x2, y1, y2), samples = jax.lax.scan(
+                bp_step, (state.bp[0], state.bp[1], state.bp[2], state.bp[3]), samples
+            )
+            state = state._replace(bp=jnp.stack([x1, x2, y1, y2]))
+        # 3 shifts with per-shift pre-emphasis reset (extractor.rs:87-97)
+        shifts = frontend.pre_emphasis(samples.reshape(3, SAMPLES_PER_SHIFT))
+        no_event = Event(
+            fired=jnp.bool_(False),
+            ww=jnp.int32(0),
+            score=jnp.float32(0),
+            avg_score=jnp.float32(0),
+            counter=jnp.int32(0),
+            gain=jnp.float32(jnp.nan),
+            scores=jnp.zeros((static.smax,), jnp.float32),
+        )
+        carry = (state, jnp.bool_(False), no_event)
+        for i in range(3):  # static unroll — tiny loop, keeps shapes simple
+            carry, _ = process_shift(params, carry, shifts[i])
+        state, _, event = carry
+        return state, event
+
+    return step
