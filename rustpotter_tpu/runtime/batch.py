@@ -1,0 +1,94 @@
+"""Batched streaming runtime: N concurrent audio streams, data-parallel.
+
+The reference runs one `Rustpotter` per stream, single-threaded
+(/root/reference — no parallelism anywhere; SURVEY.md §2.9). The TPU-native
+runtime batches streams on a leading axis: one jitted step advances every
+stream 30 ms, wakeword templates/NN weights are replicated, and the whole
+thing shards over a `streams` mesh axis with pjit (see parallel/sharding.py).
+
+Stream lifecycle is mask-based: `reset_streams` clears any subset of streams
+(admit/retire) without recompilation.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import RustpotterConfig
+from .bundle import build_bundle
+from .state import Event, StreamState, init_state
+from .stream_step import make_step
+
+
+class BatchedDetector:
+    """Fixed-capacity batch of independent detector streams."""
+
+    def __init__(
+        self,
+        wakewords: List[tuple],
+        config: Optional[RustpotterConfig] = None,
+        batch_size: int = 1024,
+        sharding=None,
+    ):
+        self.config = config if config is not None else RustpotterConfig()
+        self.batch_size = batch_size
+        self.static, self.params = build_bundle(wakewords, self.config)
+        step = make_step(self.static)
+        vstep = jax.vmap(step, in_axes=(None, 0, 0))
+        self._sharding = sharding
+
+        def chunk_fn(params, states, frames):
+            """frames: (B, 480) — advance every stream by one 30 ms frame."""
+            return vstep(params, states, frames)
+
+        def seq_fn(params, states, frames):
+            """frames: (T, B, 480) — scan a time range in one XLA call."""
+
+            def body(s, f):
+                s, ev = vstep(params, s, f)
+                return s, ev
+
+            return jax.lax.scan(body, states, frames)
+
+        if sharding is not None:
+            state_shardings = jax.tree_util.tree_map(
+                lambda _: sharding.state, init_state(self.static, (batch_size,))
+            )
+            self.process_chunk = jax.jit(
+                chunk_fn,
+                in_shardings=(sharding.replicated, state_shardings, sharding.state),
+                out_shardings=(state_shardings, sharding.state),
+            )
+            self.process_sequence = jax.jit(
+                seq_fn,
+                in_shardings=(sharding.replicated, state_shardings, sharding.time_batched),
+                out_shardings=(state_shardings, sharding.time_batched),
+            )
+        else:
+            self.process_chunk = jax.jit(chunk_fn)
+            self.process_sequence = jax.jit(seq_fn)
+        self._reset = jax.jit(_reset_streams)
+
+    def init_states(self) -> StreamState:
+        states = init_state(self.static, (self.batch_size,))
+        if self._sharding is not None:
+            states = jax.device_put(
+                states,
+                jax.tree_util.tree_map(lambda _: self._sharding.state, states),
+            )
+        return states
+
+    def reset_streams(self, states: StreamState, mask: jnp.ndarray) -> StreamState:
+        """Clear streams where mask is True (stream admit/retire)."""
+        return self._reset(states, mask, init_state(self.static, (self.batch_size,)))
+
+
+def _reset_streams(states: StreamState, mask: jnp.ndarray, fresh: StreamState) -> StreamState:
+    def sel(a, b):
+        m = mask.reshape(mask.shape + (1,) * (a.ndim - mask.ndim))
+        return jnp.where(m, b, a)
+
+    return jax.tree_util.tree_map(sel, states, fresh)
