@@ -114,3 +114,28 @@ def resample_chunk_np(
     trunc = spec[: n_out + 1].copy()
     y = np.fft.irfft(trunc, 2 * n_out) * (2.0 * n_out)
     return y[:n_out] + overlap, y[n_out:].copy()
+
+
+def make_jax_resampler(fft_size_in: int, fft_size_out: int):
+    """In-graph (on-chip) resampler for the batched runtime.
+
+    Returns resample(overlap, chunk) -> (new_overlap, out):
+      overlap: (..., n_out) carried state; chunk: (..., n_in) f32.
+    Same construction as the host path; rides XLA's FFT (TPU-supported).
+    """
+    import jax.numpy as jnp
+
+    filter_f = np.fft.rfft(design_filter(fft_size_in, fft_size_out)).astype(
+        np.complex64
+    )
+    n_out = fft_size_out
+
+    def resample(overlap, chunk):
+        buf = jnp.concatenate(
+            [chunk, jnp.zeros(chunk.shape[:-1] + (fft_size_in,), chunk.dtype)], axis=-1
+        )
+        spec = jnp.fft.rfft(buf) * filter_f
+        y = jnp.fft.irfft(spec[..., : n_out + 1], 2 * n_out) * jnp.float32(2 * n_out)
+        return y[..., n_out:], y[..., :n_out] + overlap
+
+    return resample

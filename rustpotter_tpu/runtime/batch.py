@@ -32,10 +32,13 @@ class BatchedDetector:
         config: Optional[RustpotterConfig] = None,
         batch_size: int = 1024,
         sharding=None,
+        in_graph_resample: bool = False,
     ):
         self.config = config if config is not None else RustpotterConfig()
         self.batch_size = batch_size
-        self.static, self.params = build_bundle(wakewords, self.config)
+        self.static, self.params = build_bundle(
+            wakewords, self.config, in_graph_resample=in_graph_resample
+        )
         step = make_step(self.static)
         vstep = jax.vmap(step, in_axes=(None, 0, 0))
         self._sharding = sharding

@@ -56,6 +56,11 @@ class StepStatic:
     smax: int  # width of the per-detection scores payload
     names: Tuple[str, ...]  # wakeword keys, DTW first then NN
     dtw_template_names: Tuple[Tuple[str, ...], ...]
+    # in-graph resampling (batched runtime): 0 = stream is already 16 kHz and
+    # the step takes 480-sample frames; else the step takes input_samples raw
+    # samples at input_rate and resamples on-chip
+    input_samples: int = 480
+    input_rate: int = DETECTOR_INTERNAL_SAMPLE_RATE
 
 
 import jax
@@ -106,9 +111,19 @@ def rust_f32_max(a: float, b: float) -> float:
 
 
 def build_bundle(
-    wakewords: List[Tuple[str, Wakeword]], config: RustpotterConfig
+    wakewords: List[Tuple[str, Wakeword]],
+    config: RustpotterConfig,
+    in_graph_resample: bool = False,
 ) -> Tuple[StepStatic, StepParams]:
     det = config.detector
+    input_samples, input_rate = 480, DETECTOR_INTERNAL_SAMPLE_RATE
+    if in_graph_resample and config.fmt.sample_rate != DETECTOR_INTERNAL_SAMPLE_RATE:
+        from ..audio.resampler import chunk_sizes
+
+        input_samples, _ = chunk_sizes(
+            config.fmt.sample_rate, DETECTOR_INTERNAL_SAMPLE_RATE, 480
+        )
+        input_rate = config.fmt.sample_rate
     refs = [(k, w) for k, w in wakewords if isinstance(w, WakewordRef)]
     models = [(k, w) for k, w in wakewords if isinstance(w, WakewordModel)]
     if not refs and not models:
@@ -212,6 +227,8 @@ def build_bundle(
         smax=int(smax),
         names=tuple([k for k, _ in refs] + [k for k, _ in models]),
         dtw_template_names=tuple(template_names),
+        input_samples=input_samples,
+        input_rate=input_rate,
     )
     fixed_gain_ref = config.filters.gain_normalizer.gain_ref
     gain_ref = fixed_gain_ref if fixed_gain_ref is not None else target_rms

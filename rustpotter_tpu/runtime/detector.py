@@ -66,11 +66,16 @@ class Rustpotter:
         self.add_wakeword(key, wakeword)
 
     def add_wakeword(self, key: str, wakeword: Union[WakewordRef, WakewordModel]) -> None:
-        if not self.wakewords:
-            self._reset_stream_state = True
+        prev = list(self.wakewords)
         self.wakewords = [(k, w) for k, w in self.wakewords if k != key]
         self.wakewords.append((key, wakeword))
-        self._rebuild()
+        try:
+            self._rebuild()
+        except ValueError:
+            # e.g. mismatched mfcc size (detector.rs:308-320) — keep prior set
+            self.wakewords = prev
+            self._rebuild()
+            raise
 
     def remove_wakeword(self, key: str) -> bool:
         n = len(self.wakewords)
@@ -175,12 +180,46 @@ class Rustpotter:
 
     def process_audio(self, samples: np.ndarray) -> Optional[RustpotterDetection]:
         """samples: 480 mono f32 @16 kHz."""
+        record_path = self.config.detector.record_path
+        prev_score = float(self._state.partial_score) if record_path else 0.0
+        prev_active = bool(self._state.partial_active) if record_path else False
         self._state, event = self._step(
             self._params, self._state, jnp.asarray(samples, jnp.float32)
         )
+        if record_path:
+            self._record_window(np.asarray(samples, np.float32))
+            # a new/improving partial triggers an audio dump
+            # (parity: detector.rs:420-423,455-484, `record` cargo feature)
+            if bool(self._state.partial_active) and (
+                not prev_active or float(self._state.partial_score) > prev_score
+            ):
+                self._write_record(record_path, float(self._state.partial_score))
         if bool(event.fired):
             return self._decode_event(event)
         return None
+
+    def _record_window(self, samples: np.ndarray) -> None:
+        max_samples = (self._static.max_mfcc_frames // 3) * 480
+        buf = getattr(self, "_audio_window", np.zeros(0, np.float32))
+        buf = np.concatenate([buf, samples])
+        if len(buf) > max_samples:
+            buf = buf[len(samples):]
+        self._audio_window = buf
+
+    def _write_record(self, record_path: str, score: float) -> None:
+        import os
+        import time
+
+        from ..utils.wav import write_wav
+
+        if not os.path.isdir(record_path):
+            return
+        name = self._static.names[int(self._state.partial_ww)]
+        ts = int(time.time() * 1000)
+        fname = f"[{name}]{ts}-{str(score).replace('.', '_')}.wav"
+        write_wav(
+            os.path.join(record_path, fname), self._audio_window, 16000
+        )
 
     def process_audio_sequence(self, samples: np.ndarray) -> List[RustpotterDetection]:
         """Bulk path: (n*480,) samples scanned in one XLA call."""

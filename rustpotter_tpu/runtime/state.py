@@ -27,6 +27,7 @@ class StreamState(NamedTuple):
     vad_win: jnp.ndarray  # (50,) energy ring (NaN = unfilled)
     vad_idx: jnp.ndarray  # i32
     vad_countdown: jnp.ndarray  # i32
+    rs_overlap: jnp.ndarray  # (480,) in-graph resampler overlap-add state
     gain_win: jnp.ndarray  # (Wg,) rolling rms window
     gain_count: jnp.ndarray  # i32
     gain: jnp.ndarray  # f32: gain applied to latest frame
@@ -68,6 +69,7 @@ def init_state(static: StepStatic, batch_shape: tuple = ()) -> StreamState:
         vad_win=z((VAD_WINDOW,), np.float32, np.nan),
         vad_idx=z((), jnp.int32),
         vad_countdown=z((), jnp.int32),
+        rs_overlap=z((SAMPLES_PER_FRAME,)),
         gain_win=z((Wg,)),
         gain_count=z((), jnp.int32),
         gain=z((), np.float32, 1.0),

@@ -301,8 +301,20 @@ def make_step(static: StepStatic):
         )
         return (state, halted | fired, out_event), None
 
+    if static.input_samples != SAMPLES_PER_FRAME:
+        from ..audio.resampler import make_jax_resampler
+
+        resample = make_jax_resampler(static.input_samples, SAMPLES_PER_FRAME)
+    else:
+        resample = None
+
     def step(params: StepParams, state: StreamState, samples: jnp.ndarray):
-        """samples: (480,) mono f32 @16 kHz → (state', Event)."""
+        """samples: (static.input_samples,) mono f32 → (state', Event).
+        With in-graph resampling enabled, raw-rate samples are converted to
+        the internal 16 kHz on-chip first (parity: encoder.rs:26-62)."""
+        if resample is not None:
+            overlap, samples = resample(state.rs_overlap, samples)
+            state = state._replace(rs_overlap=overlap)
         # rms + gain normalizer (detector.rs:358-365)
         rms = frontend.rms_level(samples)
         state = state._replace(rms_level=rms)
