@@ -1,0 +1,219 @@
+// rustpotter_tpu native ingest library.
+//
+// High-throughput host-side audio front-end feeding the TPU runtime: PCM byte
+// decode (i8/i16/i32/f32, LE/BE), first-channel downmix, RIFF/WAVE parsing,
+// and a polyphase fixed-ratio resampler equivalent to the framework's FFT
+// overlap-add resampler (audio/resampler.py — same filter taps, evaluated as
+// time-domain convolution with f64 accumulation; agrees to ~1e-9).
+//
+// Where the reference implements this layer in Rust (src/audio/encoder.rs,
+// src/audio/audio_types.rs, hound WAV parsing), this library is the C++
+// equivalent for ingest at 100k-stream scale. Exposed as a plain C ABI for
+// ctypes.
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <vector>
+
+extern "C" {
+
+enum RpSampleFormat { RP_I8 = 0, RP_I16 = 1, RP_I32 = 2, RP_F32 = 3 };
+enum RpEndianness { RP_LITTLE = 0, RP_BIG = 1 };
+
+static inline uint16_t swap16(uint16_t v) { return __builtin_bswap16(v); }
+static inline uint32_t swap32(uint32_t v) { return __builtin_bswap32(v); }
+
+// ---------------------------------------------------------------- decode
+
+// bytes -> f32 samples scaled by 1/T_MAX (parity: audio_types.rs:102-122).
+// Returns number of samples written.
+int64_t rp_decode_pcm(const uint8_t* bytes, int64_t n_bytes, int fmt,
+                      int endian, float* out) {
+  const bool be = endian == RP_BIG;
+  switch (fmt) {
+    case RP_I8: {
+      for (int64_t i = 0; i < n_bytes; ++i)
+        out[i] = static_cast<float>(static_cast<int8_t>(bytes[i])) / 127.0f;
+      return n_bytes;
+    }
+    case RP_I16: {
+      int64_t n = n_bytes / 2;
+      for (int64_t i = 0; i < n; ++i) {
+        uint16_t raw;
+        std::memcpy(&raw, bytes + 2 * i, 2);
+        if (be) raw = swap16(raw);
+        out[i] = static_cast<float>(static_cast<int16_t>(raw)) / 32767.0f;
+      }
+      return n;
+    }
+    case RP_I32: {
+      int64_t n = n_bytes / 4;
+      for (int64_t i = 0; i < n; ++i) {
+        uint32_t raw;
+        std::memcpy(&raw, bytes + 4 * i, 4);
+        if (be) raw = swap32(raw);
+        out[i] = static_cast<float>(static_cast<int32_t>(raw)) / 2147483647.0f;
+      }
+      return n;
+    }
+    case RP_F32: {
+      int64_t n = n_bytes / 4;
+      for (int64_t i = 0; i < n; ++i) {
+        uint32_t raw;
+        std::memcpy(&raw, bytes + 4 * i, 4);
+        if (be) raw = swap32(raw);
+        float f;
+        std::memcpy(&f, &raw, 4);
+        out[i] = f;
+      }
+      return n;
+    }
+  }
+  return -1;
+}
+
+// first-channel downmix (parity: encoder.rs:40-48)
+void rp_downmix_first(const float* in, int64_t n_frames, int channels,
+                      float* out) {
+  for (int64_t i = 0; i < n_frames; ++i) out[i] = in[i * channels];
+}
+
+// ------------------------------------------------------------------ WAV
+
+struct RpWavInfo {
+  int32_t sample_rate;
+  int32_t channels;
+  int32_t bits_per_sample;
+  int32_t is_float;
+  int64_t data_offset;
+  int64_t data_bytes;
+};
+
+// Parse RIFF/WAVE headers (plain + WAVE_FORMAT_EXTENSIBLE). Returns 0 on ok.
+int rp_wav_parse(const uint8_t* data, int64_t n, RpWavInfo* info) {
+  if (n < 12 || std::memcmp(data, "RIFF", 4) != 0 ||
+      std::memcmp(data + 8, "WAVE", 4) != 0)
+    return -1;
+  int64_t pos = 12;
+  bool have_fmt = false, have_data = false;
+  while (pos + 8 <= n) {
+    uint32_t size;
+    std::memcpy(&size, data + pos + 4, 4);
+    const uint8_t* body = data + pos + 8;
+    if (std::memcmp(data + pos, "fmt ", 4) == 0 && size >= 16) {
+      uint16_t tag, channels, bits;
+      uint32_t rate;
+      std::memcpy(&tag, body, 2);
+      std::memcpy(&channels, body + 2, 2);
+      std::memcpy(&rate, body + 4, 4);
+      std::memcpy(&bits, body + 14, 2);
+      if (tag == 0xFFFE && size >= 26) std::memcpy(&tag, body + 24, 2);
+      info->sample_rate = rate;
+      info->channels = channels;
+      info->bits_per_sample = bits;
+      info->is_float = tag == 3;
+      have_fmt = true;
+    } else if (std::memcmp(data + pos, "data", 4) == 0) {
+      info->data_offset = pos + 8;
+      info->data_bytes = size;
+      have_data = true;
+    }
+    pos += 8 + size + (size & 1);
+  }
+  return (have_fmt && have_data) ? 0 : -1;
+}
+
+// ------------------------------------------------------------- resampler
+
+// Polyphase evaluation of the framework's anti-aliasing filter: the FFT
+// overlap-add resampler is LTI within chunk alignment, so convolution with
+// the same taps gives the same output (up to ~1e-9 accumulation differences).
+struct RpResampler {
+  int n_in;        // input chunk (e.g. 1440)
+  int n_out;       // output chunk (e.g. 480)
+  std::vector<double> taps_rev;  // reversed taps for unit-stride dot products
+  std::vector<float> concat;     // [history(n_in) | current(n_in)]
+};
+
+static void design_filter(int n_in, int n_out, std::vector<double>& taps) {
+  // mirror audio/resampler.py::design_filter
+  const double kCutoffScale = 0.9716115;
+  double cutoff = n_in > n_out
+                      ? kCutoffScale * static_cast<double>(n_out) / n_in
+                      : kCutoffScale;
+  taps.resize(n_in);
+  double sum = 0.0;
+  const double pi = 3.14159265358979323846;
+  for (int i = 0; i < n_in; ++i) {
+    double a = 2.0 * pi * i / n_in;
+    double wnd = 0.35875 - 0.48829 * std::cos(a) + 0.14128 * std::cos(2 * a) -
+                 0.01168 * std::cos(3 * a);
+    wnd *= wnd;  // BlackmanHarris^2 (periodic)
+    double t = (i - n_in / 2.0) * cutoff;
+    double s = t == 0.0 ? 1.0 : std::sin(pi * t) / (pi * t);
+    taps[i] = wnd * s;
+    sum += taps[i];
+  }
+  for (int i = 0; i < n_in; ++i) taps[i] /= sum;
+}
+
+void* rp_resampler_new(int n_in, int n_out) {
+  auto* r = new RpResampler();
+  r->n_in = n_in;
+  r->n_out = n_out;
+  std::vector<double> taps;
+  design_filter(n_in, n_out, taps);
+  r->taps_rev.resize(n_in);
+  for (int i = 0; i < n_in; ++i) r->taps_rev[i] = taps[n_in - 1 - i];
+  r->concat.assign(2 * n_in, 0.0f);
+  return r;
+}
+
+void rp_resampler_free(void* handle) {
+  delete static_cast<RpResampler*>(handle);
+}
+
+void rp_resampler_reset(void* handle) {
+  auto* r = static_cast<RpResampler*>(handle);
+  std::fill(r->concat.begin(), r->concat.end(), 0.0f);
+}
+
+// Process one chunk: in[n_in] -> out[n_out]. Equivalent to the FFT-OLA path:
+// y_global[m] = (x * h)[m*ratio] with h = the n_in anti-aliasing taps. With
+// reversed taps each output is a unit-stride dot product (SIMD-friendly):
+// y[m] = dot(taps_rev, concat[m*ratio + 1 : m*ratio + 1 + n_in]).
+void rp_resampler_process(void* handle, const float* in, float* out) {
+  auto* r = static_cast<RpResampler*>(handle);
+  const int n_in = r->n_in, n_out = r->n_out;
+  const int ratio = n_in / n_out;
+  std::memcpy(r->concat.data() + n_in, in, n_in * sizeof(float));
+  const float* s = r->concat.data();
+  const double* h = r->taps_rev.data();
+  for (int m = 0; m < n_out; ++m) {
+    const float* x = s + m * ratio + 1;
+    double a0 = 0.0, a1 = 0.0, a2 = 0.0, a3 = 0.0;
+    int k = 0;
+    for (; k + 4 <= n_in; k += 4) {
+      a0 += h[k] * x[k];
+      a1 += h[k + 1] * x[k + 1];
+      a2 += h[k + 2] * x[k + 2];
+      a3 += h[k + 3] * x[k + 3];
+    }
+    double acc = (a0 + a1) + (a2 + a3);
+    for (; k < n_in; ++k) acc += h[k] * x[k];
+    out[m] = static_cast<float>(acc);
+  }
+  // current chunk becomes the history
+  std::memcpy(r->concat.data(), in, n_in * sizeof(float));
+}
+
+// ------------------------------------------------------- frame utilities
+
+// rms of a frame (parity: gain_normalizer_filter.rs:49-55)
+float rp_rms_level(const float* x, int64_t n) {
+  double acc = 0.0;
+  for (int64_t i = 0; i < n; ++i) acc += static_cast<double>(x[i]) * x[i];
+  return static_cast<float>(std::sqrt(acc / static_cast<double>(n)));
+}
+
+}  // extern "C"

@@ -27,7 +27,8 @@ import jax.numpy as jnp
 
 from ..constants import SAMPLES_PER_FRAME, SAMPLES_PER_SHIFT
 from ..ops import frontend
-from ..ops.dtw import band_costs, banded_dtw_batch
+from ..ops.dtw import band_costs
+from ..ops.dtw_dispatch import get_banded_dtw
 from ..ops.scoring import cost_to_score, nn_inverse_similarity, percentile_sorted
 from ..config import ScoreMode
 from ..wakewords import nn as nn_mod
@@ -79,10 +80,9 @@ def _dtw_scores(static: StepStatic, params: StepParams, win: jnp.ndarray):
     t_lens = params.dtw_lens  # (D, K)
     means = cums[t_lens - 1] / t_lens[..., None].astype(jnp.float32)  # (D, K, C)
     normwin = win[None, None, :L, :] - means[..., None, :]
+    banded_dtw = get_banded_dtw(w)
     costs = band_costs(params.dtw_templates, normwin, w)  # (D, K, L, 2w)
-    sims = banded_dtw_batch(
-        costs.reshape(D * K, L, 2 * w), t_lens.reshape(-1), w
-    ).reshape(D, K)
+    sims = banded_dtw(costs.reshape(D * K, L, 2 * w), t_lens.reshape(-1)).reshape(D, K)
     norm_cost = sims / (2.0 * t_lens.astype(jnp.float32))
     tscores = cost_to_score(norm_cost, static.score_ref)  # (D, K)
     score = _reduce_mode(tscores, params.dtw_kvalid, static.score_mode)
@@ -93,7 +93,7 @@ def _dtw_scores(static: StepStatic, params: StepParams, win: jnp.ndarray):
     a_means = cums[a_lens - 1] / a_lens[:, None].astype(jnp.float32)  # (D, C)
     a_normwin = win[None, :La, :] - a_means[:, None, :]
     a_costs = band_costs(params.dtw_avg, a_normwin, w)  # (D, La, 2w)
-    a_sims = banded_dtw_batch(a_costs, a_lens, w)
+    a_sims = get_banded_dtw(w)(a_costs, a_lens)
     avg_score_raw = cost_to_score(
         a_sims / (2.0 * a_lens.astype(jnp.float32)), static.score_ref
     )
