@@ -24,8 +24,7 @@ class StreamState(NamedTuple):
     ext_count: jnp.ndarray  # i32: 0..480 (warm-up fill level)
     win: jnp.ndarray  # (F, C) live MFCC window
     win_count: jnp.ndarray  # i32
-    vad_win: jnp.ndarray  # (50,) energy ring (NaN = unfilled)
-    vad_idx: jnp.ndarray  # i32
+    vad_win: jnp.ndarray  # (50,) energy shift-register (NaN = unfilled)
     vad_countdown: jnp.ndarray  # i32
     rs_overlap: jnp.ndarray  # (480,) in-graph resampler overlap-add state
     gain_win: jnp.ndarray  # (Wg,) rolling rms window
@@ -67,7 +66,6 @@ def init_state(static: StepStatic, batch_shape: tuple = ()) -> StreamState:
         win=z((F, C)),
         win_count=z((), jnp.int32),
         vad_win=z((VAD_WINDOW,), np.float32, np.nan),
-        vad_idx=z((), jnp.int32),
         vad_countdown=z((), jnp.int32),
         rs_overlap=z((SAMPLES_PER_FRAME,)),
         gain_win=z((Wg,)),

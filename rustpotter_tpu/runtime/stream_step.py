@@ -77,23 +77,36 @@ def _dtw_scores(static: StepStatic, params: StepParams, win: jnp.ndarray):
     cums = jnp.cumsum(win, axis=0)  # (F, C)
 
     # per-template normalized windows: (D, K, L, C)
+    # templates and averaged templates share one padded DP batch so the DTW
+    # kernel is instantiated once per step
+    La = static.la_max
+    Lm = max(L, La)
+    C = static.mfcc_size
     t_lens = params.dtw_lens  # (D, K)
     means = cums[t_lens - 1] / t_lens[..., None].astype(jnp.float32)  # (D, K, C)
-    normwin = win[None, None, :L, :] - means[..., None, :]
-    banded_dtw = get_banded_dtw(w)
-    costs = band_costs(params.dtw_templates, normwin, w)  # (D, K, L, 2w)
-    sims = banded_dtw(costs.reshape(D * K, L, 2 * w), t_lens.reshape(-1)).reshape(D, K)
-    norm_cost = sims / (2.0 * t_lens.astype(jnp.float32))
-    tscores = cost_to_score(norm_cost, static.score_ref)  # (D, K)
+    normwin = win[None, :Lm, :] - means.reshape(D * K, 1, C)  # (D*K, Lm, C)
+    a_lens = params.dtw_avg_len  # (D,)
+    a_means = cums[a_lens - 1] / a_lens[:, None].astype(jnp.float32)  # (D, C)
+    a_normwin = win[None, :Lm, :] - a_means[:, None, :]  # (D, Lm, C)
+
+    def pad_rows(x, rows):
+        return jnp.pad(x, ((0, 0), (0, rows - x.shape[1]), (0, 0))) if x.shape[1] < rows else x
+
+    seq_a = jnp.concatenate(
+        [pad_rows(params.dtw_templates.reshape(D * K, L, C), Lm), pad_rows(params.dtw_avg, Lm)]
+    )
+    seq_b = jnp.concatenate([normwin, a_normwin])
+    lens_all = jnp.concatenate([t_lens.reshape(-1), a_lens])
+    costs = band_costs(seq_a, seq_b, w)  # (D*K + D, Lm, 2w)
+    sims_all = get_banded_dtw(w)(costs, lens_all)
+    sims = sims_all[: D * K].reshape(D, K)
+    a_sims = sims_all[D * K :]
+    tscores = cost_to_score(
+        sims / (2.0 * t_lens.astype(jnp.float32)), static.score_ref
+    )  # (D, K)
     score = _reduce_mode(tscores, params.dtw_kvalid, static.score_mode)
 
     # averaged-template gate (wakeword_comp.rs:85-94): branch → mask
-    La = static.la_max
-    a_lens = params.dtw_avg_len  # (D,)
-    a_means = cums[a_lens - 1] / a_lens[:, None].astype(jnp.float32)  # (D, C)
-    a_normwin = win[None, :La, :] - a_means[:, None, :]
-    a_costs = band_costs(params.dtw_avg, a_normwin, w)  # (D, La, 2w)
-    a_sims = get_banded_dtw(w)(a_costs, a_lens)
     avg_score_raw = cost_to_score(
         a_sims / (2.0 * a_lens.astype(jnp.float32)), static.score_ref
     )
@@ -176,15 +189,17 @@ def make_step(static: StepStatic):
 
     def vad_is_voice(state: StreamState, mfcc: jnp.ndarray, update: jnp.ndarray):
         """Energy VAD (vad.rs:11-36). `update` masks all state writes (the
-        reference short-circuits is_voice when a partial is active)."""
+        reference short-circuits is_voice when a partial is active).
+
+        The reference keeps a 50-slot ring with a write index; only the
+        multiset of the last 50 values matters (min + over-threshold count),
+        so a shift register is exactly equivalent — and avoids a per-stream
+        scatter under vmap (TPU scatters serialize)."""
         value = jnp.mean(jnp.abs(mfcc))
         vwin = jnp.where(
-            update, state.vad_win.at[state.vad_idx].set(value), state.vad_win
-        )
-        vidx = jnp.where(
             update,
-            jnp.where(state.vad_idx >= VAD_WINDOW - 1, 0, state.vad_idx + 1),
-            state.vad_idx,
+            jnp.concatenate([state.vad_win[1:], value[None]]),
+            state.vad_win,
         )
         # min over non-NaN entries, floored at 0.01 (vad.rs:19-26)
         mn = jnp.maximum(jnp.min(jnp.where(jnp.isnan(vwin), INF, vwin)), 0.01)
@@ -193,7 +208,7 @@ def make_step(static: StepStatic):
         vcount = jnp.where(update & (n_high > 10), VAD_VOICE_FRAMES, state.vad_countdown)
         voice = vcount > 0
         vcount = jnp.where(update & voice, vcount - 1, vcount)
-        return state._replace(vad_win=vwin, vad_idx=vidx, vad_countdown=vcount), voice
+        return state._replace(vad_win=vwin, vad_countdown=vcount), voice
 
     def run_detection(params: StepParams, state: StreamState, run: jnp.ndarray):
         """detector.rs:398-432, fully masked by `run`."""
@@ -241,7 +256,6 @@ def make_step(static: StepStatic):
             win_count=jnp.where(emit, 0, state.win_count),
             ext_count=jnp.where(emit, 0, state.ext_count),
             vad_win=jnp.where(emit, jnp.full_like(state.vad_win, jnp.nan), state.vad_win),
-            vad_idx=jnp.where(emit, 0, state.vad_idx),
             vad_countdown=jnp.where(emit, 0, state.vad_countdown),
             partial_active=jnp.where(emit, False, state.partial_active),
         )
@@ -252,14 +266,13 @@ def make_step(static: StepStatic):
         detector.rs:374-397). carry = (state, halted, event)."""
         state, halted, event0 = carry
         active = ~halted
-        # --- extractor sliding buffer
+        # --- extractor sliding buffer. Always-roll shift register: during
+        # warm-up the stale prefix is never read (emission starts only once
+        # 3 shifts are buffered, at which point the register contents equal
+        # the reference's sliding buffer exactly — extractor.rs:69-79).
         full = state.ext_count >= SAMPLES_PER_FRAME
-        grown = jax.lax.dynamic_update_slice(
-            state.ext_buf, shift, (jnp.minimum(state.ext_count, SAMPLES_PER_FRAME - SAMPLES_PER_SHIFT),)
-        )
-        slid = jnp.concatenate([state.ext_buf[SAMPLES_PER_SHIFT:], shift])
-        new_buf = jnp.where(full, slid, grown)
-        new_count = jnp.where(full, SAMPLES_PER_FRAME, state.ext_count + SAMPLES_PER_SHIFT)
+        new_buf = jnp.concatenate([state.ext_buf[SAMPLES_PER_SHIFT:], shift])
+        new_count = jnp.minimum(state.ext_count + SAMPLES_PER_SHIFT, SAMPLES_PER_FRAME)
         state = state._replace(
             ext_buf=jnp.where(active, new_buf, state.ext_buf),
             ext_count=jnp.where(active, new_count, state.ext_count),
@@ -276,23 +289,19 @@ def make_step(static: StepStatic):
             should_run = state.partial_active | voice
         else:
             should_run = jnp.bool_(True)
-        # push frame
-        placed = jax.lax.dynamic_update_slice(
-            state.win, mfcc[None, :], (jnp.minimum(state.win_count, F - 1), 0)
+        # push frame — always-roll shift register. The reference pushes then
+        # drains the oldest once the window is full (detector.rs:384-395);
+        # rolling keeps exactly the last F frames, which is the identical
+        # window whenever detection can run (count == F).
+        placed = jnp.concatenate([state.win[1:], mfcc[None, :]])
+        win_count = jnp.where(
+            emit_frame, jnp.minimum(state.win_count + 1, F), state.win_count
         )
-        win_count = jnp.where(emit_frame, state.win_count + 1, state.win_count)
         state = state._replace(
             win=jnp.where(emit_frame, placed, state.win), win_count=win_count
         )
         win_full = state.win_count >= F
         state, event = run_detection(params, state, emit_frame & win_full & should_run)
-        # drain oldest (detector.rs:393-395) — also when detection didn't run;
-        # skipped when the emit cleared the window (win_count already 0)
-        drain = emit_frame & win_full & (state.win_count >= F)
-        state = state._replace(
-            win=jnp.where(drain, jnp.roll(state.win, -1, axis=0), state.win),
-            win_count=jnp.where(drain, F - 1, state.win_count),
-        )
         fired = event.fired & active
         event = event._replace(fired=fired)
         # find_map: a fired detection halts the remaining shifts
@@ -320,14 +329,12 @@ def make_step(static: StepStatic):
         state = state._replace(rms_level=rms)
         if static.gain_enabled:
             apply = ~jnp.isnan(params.gain_ref_sqrt) & (rms != 0.0)
-            grown = jax.lax.dynamic_update_slice(
-                state.gain_win, rms[None], (jnp.minimum(state.gain_count, Wg - 1),)
-            )
-            slid = jnp.concatenate([state.gain_win[1:], rms[None]])
-            gwin = jnp.where(state.gain_count >= Wg, slid, grown)
+            # rolling rms window as a shift register: the mean over the last
+            # `count` entries equals the reference queue mean (order-free)
+            gwin = jnp.concatenate([state.gain_win[1:], rms[None]])
             gcount = jnp.minimum(state.gain_count + 1, Wg)
             mean = jnp.sum(
-                jnp.where(jnp.arange(Wg) < gcount, gwin, 0.0)
+                jnp.where(jnp.arange(Wg) >= Wg - gcount, gwin, 0.0)
             ) / gcount.astype(jnp.float32)
             # Rust f32::round is half-away-from-zero; gain is positive
             gain = jnp.clip(
