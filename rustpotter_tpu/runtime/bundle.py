@@ -53,9 +53,12 @@ class StepStatic:
     lmax: int
     la_max: int
     nn_meta: Tuple[NNMeta, ...]
-    smax: int  # width of the per-detection scores payload
-    names: Tuple[str, ...]  # wakeword keys, DTW first then NN
-    dtw_template_names: Tuple[Tuple[str, ...], ...]
+    # static per-pair DP lengths: all template lengths (padded with 1s to
+    # kmax per wakeword, in order) followed by per-wakeword avg lengths
+    dtw_pair_lens: Tuple[int, ...] = ()
+    smax: int = 1  # width of the per-detection scores payload
+    names: Tuple[str, ...] = ()  # wakeword keys, DTW first then NN
+    dtw_template_names: Tuple[Tuple[str, ...], ...] = ()
     # in-graph resampling (batched runtime): 0 = stream is already 16 kHz and
     # the step takes 480-sample frames; else the step takes input_samples raw
     # samples at input_rate and resamples on-chip
@@ -224,6 +227,7 @@ def build_bundle(
         lmax=int(lmax),
         la_max=int(la_max),
         nn_meta=tuple(nn_meta),
+        dtw_pair_lens=tuple(int(x) for x in d_lens.reshape(-1)) + tuple(int(x) for x in d_avg_len),
         smax=int(smax),
         names=tuple([k for k, _ in refs] + [k for k, _ in models]),
         dtw_template_names=tuple(template_names),

@@ -97,8 +97,18 @@ def _dtw_scores(static: StepStatic, params: StepParams, win: jnp.ndarray):
     )
     seq_b = jnp.concatenate([normwin, a_normwin])
     lens_all = jnp.concatenate([t_lens.reshape(-1), a_lens])
-    costs = band_costs(seq_a, seq_b, w)  # (D*K + D, Lm, 2w)
-    sims_all = get_banded_dtw(w)(costs, lens_all)
+    from ..ops.dtw_dispatch import use_pallas
+    if use_pallas():
+        # fused cost+DP kernel: one VMEM-resident pass per stream tile
+        from ..ops.fused_dtw import make_fused_scorer
+
+        means_all = jnp.concatenate([means.reshape(D * K, C), a_means])
+        tnorms = jnp.sum(seq_a * seq_a, axis=-1)
+        scorer = make_fused_scorer(static.dtw_pair_lens, w)
+        sims_all = scorer(win[:Lm], means_all, seq_a, tnorms)
+    else:
+        costs = band_costs(seq_a, seq_b, w)  # (D*K + D, Lm, 2w)
+        sims_all = get_banded_dtw(w)(costs, lens_all)
     sims = sims_all[: D * K].reshape(D, K)
     a_sims = sims_all[D * K :]
     tscores = cost_to_score(

@@ -1,0 +1,99 @@
+"""Profiling and roofline accounting for the streaming pipeline.
+
+The reference has no tracing/profiling at all (SURVEY.md §5). TPU-native
+equivalents here:
+  - `trace(...)`: context manager around jax.profiler for on-device traces
+    (view with TensorBoard / xprof)
+  - `step_roofline(...)`: analytic FLOP/byte model of one detector step per
+    stream, and speed-of-light bounds on a given chip spec
+"""
+from __future__ import annotations
+
+import contextlib
+from dataclasses import dataclass
+
+import jax
+
+from ..runtime.bundle import StepStatic
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """Capture a jax profiler trace of the enclosed computation."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+@dataclass
+class ChipSpec:
+    """Peak numbers for roofline bounds."""
+
+    name: str = "v5e"
+    mxu_f32_tflops: float = 49.0  # bf16x6 ("highest") effective f32
+    vpu_f32_tflops: float = 3.9
+    hbm_gbps: float = 819.0
+
+
+@dataclass
+class StepCost:
+    mxu_flops: float
+    vpu_flops: float
+    hbm_bytes: float
+
+    def seconds_bound(self, chip: ChipSpec) -> float:
+        return max(
+            self.mxu_flops / (chip.mxu_f32_tflops * 1e12),
+            self.vpu_flops / (chip.vpu_f32_tflops * 1e12),
+            self.hbm_bytes / (chip.hbm_gbps * 1e9),
+        )
+
+
+def step_roofline(static: StepStatic) -> StepCost:
+    """Per-stream cost of one 30 ms step (3 MFCC shifts + 3 detections)."""
+    C = static.mfcc_size
+    nc = C + 1
+    F = static.max_mfcc_frames
+    L = max(static.lmax, static.la_max)
+    w = static.band_size
+    pairs = static.n_dtw * static.kmax + static.n_dtw
+    shifts = 3
+
+    # MFCC: windowed DFT (480x240 x2) + mel (240 x nc) + DCT (nc x nc)
+    mxu = shifts * 2 * (480 * 240 * 2 + 240 * nc + nc * nc)
+    # band costs: pairs x L x 2w dot products over C (+norms)
+    vpu = shifts * pairs * L * 2 * w * (2 * C + 6)
+    # DP: pairs x L rows x 2w lanes x ~6 ops
+    vpu += shifts * pairs * L * 2 * w * 6
+    # NN wakewords
+    for meta in static.nn_meta:
+        from ..wakewords.nn import layer_sizes  # local import to avoid cycle
+
+        sizes = layer_sizes_from_meta(meta, C)
+        mxu += shifts * 2 * sum(a * b for a, b in zip(sizes[:-1], sizes[1:]))
+    # HBM: window r/w (F x C), per-pair normalized windows + cost band traffic
+    hbm = shifts * 4 * (
+        2 * F * C  # window roll
+        + pairs * L * C  # normalized window materialization
+        + pairs * L * 2 * w * 2  # cost band write+read
+    )
+    return StepCost(mxu_flops=float(mxu), vpu_flops=float(vpu), hbm_bytes=float(hbm))
+
+
+def layer_sizes_from_meta(meta, mfcc_size: int):
+    from ..wakewords.files import ModelType
+    from ..wakewords.nn import layer_sizes
+
+    # meta stores train_size + labels; reconstruct tiny-model by default size
+    return layer_sizes(
+        ModelType.TINY, meta.train_size * mfcc_size, mfcc_size, len(meta.labels)
+    )
+
+
+def streams_speed_of_light(static: StepStatic, chip: ChipSpec | None = None) -> float:
+    """Upper bound on real-time streams/chip for the current op structure."""
+    chip = chip or ChipSpec()
+    cost = step_roofline(static)
+    return 0.03 / cost.seconds_bound(chip)

@@ -1,0 +1,119 @@
+"""Unit tests: banded-DTW backends vs the host oracle, percentile reductions,
+and multi-wakeword detection."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rustpotter_tpu import RustpotterConfig, ScoreMode
+from rustpotter_tpu.config import ScoreMode as SM
+from rustpotter_tpu.ops.dtw import band_costs, banded_dtw_batch, banded_dtw_np, full_dtw_np
+from rustpotter_tpu.ops.pallas_dtw import banded_dtw_pallas
+from rustpotter_tpu.runtime.detector import Rustpotter
+from rustpotter_tpu.runtime.stream_step import _reduce_mode
+from rustpotter_tpu.wakewords.files import load_wakeword
+
+
+def test_banded_dtw_backends_match_oracle():
+    rng = np.random.default_rng(0)
+    B, L, C, w = 37, 60, 8, 5
+    lens = rng.integers(20, 61, B).astype(np.int32)
+    a = rng.normal(0, 1, (B, L, C)).astype(np.float32)
+    b = rng.normal(0, 1, (B, L, C)).astype(np.float32)
+    costs = band_costs(jnp.asarray(a), jnp.asarray(b), w)
+    scan = np.asarray(banded_dtw_batch(costs, jnp.asarray(lens), w))
+    pal = np.asarray(banded_dtw_pallas(costs, jnp.asarray(lens), w, interpret=True))
+    np.testing.assert_array_equal(scan, pal)
+    for i in [0, 5, 17, 36]:
+        oracle = banded_dtw_np(a[i][: lens[i]], b[i][: lens[i]], w)
+        assert abs(float(scan[i]) - float(oracle)) < 1e-4
+
+
+def test_full_dtw_against_banded_consistency():
+    # the banded DP with a window >= |m-n|+max(m,n) degenerates to cell
+    # [m-1][n] of the unbanded DP; spot check path cost monotonicity instead
+    rng = np.random.default_rng(1)
+    a = rng.normal(0, 1, (20, 5)).astype(np.float32)
+    b = rng.normal(0, 1, (24, 5)).astype(np.float32)
+    sim, dp = full_dtw_np(a, b)
+    assert np.isfinite(sim)
+    assert sim == dp[-1, -1]
+
+
+def _rust_percentile(sorted_vals, pct):
+    n = len(sorted_vals)
+    index = np.float32(pct) / np.float32(100.0) * np.float32(n - 1)
+    lo = int(np.floor(index))
+    if lo == index:
+        return sorted_vals[int(index)]
+    d = index - np.floor(index)
+    return np.float32(sorted_vals[lo] * (1 - d) + sorted_vals[lo + 1] * d)
+
+
+def test_percentile_reductions_match_reference_formula():
+    rng = np.random.default_rng(2)
+    for K in [3, 5, 8]:
+        scores = rng.uniform(0, 1, (4, 8)).astype(np.float32)
+        kvalid = jnp.full((4,), K, jnp.int32)
+        for mode, pct in [
+            (SM.MEDIAN, 50), (SM.P25, 25), (SM.P50, 50), (SM.P75, 75),
+            (SM.P80, 80), (SM.P90, 90), (SM.P95, 95),
+        ]:
+            got = np.asarray(_reduce_mode(jnp.asarray(scores), kvalid, mode))
+            for i in range(4):
+                want = _rust_percentile(np.sort(scores[i, :K]), pct)
+                assert abs(got[i] - want) < 1e-6, (mode, i)
+        got = np.asarray(_reduce_mode(jnp.asarray(scores), kvalid, SM.AVERAGE))
+        for i in range(4):
+            assert abs(got[i] - scores[i, :K].mean()) < 1e-6
+        got = np.asarray(_reduce_mode(jnp.asarray(scores), kvalid, SM.MAX))
+        for i in range(4):
+            assert abs(got[i] - scores[i, :K].max()) < 1e-6
+
+
+def test_multi_wakeword_detection(resources):
+    """Two DTW wakewords active at once: the right one wins."""
+    cfg = RustpotterConfig()
+    cfg.detector.avg_threshold = 0.2
+    cfg.detector.threshold = 0.5
+    cfg.detector.score_mode = ScoreMode.MAX
+    rp = Rustpotter(cfg)
+    rp.add_wakeword_ref("oye", load_wakeword(os.path.join(resources, "oye_casa_g.rpw")))
+    rp.add_wakeword_ref("alexa", load_wakeword(os.path.join(resources, "alexa.rpw")))
+    raw = open(os.path.join(resources, "oye_casa_g_1.wav"), "rb").read()[44:]
+    wav = np.frombuffer(raw, "<i2").astype(np.float32) / 32767.0
+    sil = np.zeros(16000 * 2, np.float32)
+    audio = np.concatenate([sil, wav, sil])
+    dets = rp.process_audio_sequence(audio[: len(audio) // 480 * 480])
+    assert len(dets) == 1
+    assert dets[0].name == "oye casa"
+    assert dets[0].score > 0.7
+
+
+def test_fused_kernel_matches_unfused():
+    """Fused cost+DP Pallas kernel (interpret mode) vs the scan path."""
+    from rustpotter_tpu.ops.fused_dtw import fused_dtw_batch
+
+    rng = np.random.default_rng(3)
+    B, Lm, C, w, P = 50, 60, 8, 5, 4
+    lens = (60, 41, 33, 55)
+    win = rng.normal(0, 1, (B, Lm, C)).astype(np.float32)
+    templates = rng.normal(0, 1, (P, Lm, C)).astype(np.float32)
+    means = rng.normal(0, 0.2, (B, P, C)).astype(np.float32)
+    tnorms = np.sum(templates**2, axis=-1).astype(np.float32)
+    normwin = win[:, None, :, :] - means[:, :, None, :]
+    costs = band_costs(
+        jnp.asarray(np.broadcast_to(templates, (B, P, Lm, C))).reshape(B * P, Lm, C),
+        jnp.asarray(normwin).reshape(B * P, Lm, C),
+        w,
+    )
+    lens_b = jnp.asarray(np.broadcast_to(np.array(lens, np.int32), (B, P)).reshape(-1))
+    oracle = np.asarray(banded_dtw_batch(costs, lens_b, w)).reshape(B, P)
+    fused = np.asarray(
+        fused_dtw_batch(
+            jnp.asarray(win), jnp.asarray(means), jnp.asarray(templates),
+            jnp.asarray(tnorms), lens, w, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(fused, oracle, rtol=3e-6, atol=1e-4)
