@@ -57,7 +57,7 @@ def _kernel(lens, Lm, C, w, n_pairs, means_ref, templates_ref, tnorms_ref,
             wn2_s[c] = jnp.sum(d * d, axis=0)
             return 0
 
-        jax.lax.fori_loop(0, n, cbody, 0, unroll=2)
+        jax.lax.fori_loop(0, n, cbody, 0)
 
         prev0 = tuple(
             jnp.zeros((SUBLANES, LANES), jnp.float32) if j == w else inf_tile

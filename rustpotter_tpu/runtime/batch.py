@@ -57,18 +57,35 @@ class BatchedDetector:
             return jax.lax.scan(body, states, frames)
 
         if sharding is not None:
-            state_shardings = jax.tree_util.tree_map(
-                lambda _: sharding.state, init_state(self.static, (batch_size,))
+            # shard_map (not bare pjit): each device runs the step on its local
+            # stream block, so the Pallas kernels see local shapes directly
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            from ..parallel.mesh import STREAMS_AXIS
+
+            mesh = sharding.mesh
+            st_spec = jax.tree_util.tree_map(
+                lambda _: P(STREAMS_AXIS), init_state(self.static, (batch_size,))
             )
+            pr_spec = jax.tree_util.tree_map(lambda _: P(), self.params)
             self.process_chunk = jax.jit(
-                chunk_fn,
-                in_shardings=(sharding.replicated, state_shardings, sharding.state),
-                out_shardings=(state_shardings, sharding.state),
+                shard_map(
+                    chunk_fn,
+                    mesh=mesh,
+                    in_specs=(pr_spec, st_spec, P(STREAMS_AXIS)),
+                    out_specs=(st_spec, P(STREAMS_AXIS)),
+                    check_vma=False,
+                )
             )
             self.process_sequence = jax.jit(
-                seq_fn,
-                in_shardings=(sharding.replicated, state_shardings, sharding.time_batched),
-                out_shardings=(state_shardings, sharding.time_batched),
+                shard_map(
+                    seq_fn,
+                    mesh=mesh,
+                    in_specs=(pr_spec, st_spec, P(None, STREAMS_AXIS)),
+                    out_specs=(st_spec, P(None, STREAMS_AXIS)),
+                    check_vma=False,
+                )
             )
         else:
             self.process_chunk = jax.jit(chunk_fn)
