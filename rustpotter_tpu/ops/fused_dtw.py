@@ -4,9 +4,11 @@ The unfused scoring path materializes, per 10 ms shift, the per-pair
 normalized windows (B·P·L·C), ten rolled window reads, and the cost band
 (B·P·L·2w) — several GB of HBM traffic per step at large stream batches and
 ~99% of step time. This kernel fuses the whole scoring chain per (stream-tile,
-pair): window rows are DMA'd to VMEM once, the CMN diff is built in VMEM, and
-each DP row computes its band of cosine costs in registers before the min-plus
-update. HBM traffic drops to reading the window once per tile.
+pair) grid cell: window rows sit in VMEM (the window block index depends only
+on the tile, so it is reused across the pair iterations), the per-pair CMN
+mean is subtracted on the fly, and each DP row computes its band of cosine
+costs in registers before the min-plus update. HBM traffic drops to reading
+the window once per tile.
 
 Numerics: cosine terms use f32 mul-accumulate over C with the same
 dot/sqrt/guard structure as the reference (comparator.rs:28-48); the DP chain
@@ -16,7 +18,7 @@ framework's score tolerance.
 """
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -29,65 +31,65 @@ SUBLANES = 8
 LANES = 128
 
 
-def _kernel(lens, Lm, C, w, n_pairs, means_ref, templates_ref, tnorms_ref,
-            win_hbm, out_ref, win_s, diff_s, wn2_s, sem):
-    """One stream tile (8×128 streams), all pairs.
+def _kernel(Lm, C, w, lens_ref, means_ref, templates_ref,
+            win_ref, out_ref, wn2_s):
+    """Grid cell = (stream tile g, pair k); blocks deliver the right slices.
 
-    means_ref:     (P, C, 8, 128) VMEM — per-pair CMN means
-    templates_ref: (P, Lm, C) VMEM — CMN'd template rows (shared)
-    tnorms_ref:    (P, Lm) VMEM — template row norms² (shared)
-    win_hbm:       (Lm, C, 8, 128) ANY/HBM — raw window rows for this tile
-    out_ref:       (P, 8, 128) VMEM — similarities (padded dp[m-1][n])
+    lens_ref:      (P,) i32 scalar-prefetch — per-pair DP lengths
+    means_ref:     (1, C, 1, 8, 128) VMEM — this pair's CMN means, this tile
+    templates_ref: (1, Lm, C) VMEM — this pair's CMN'd template rows
+    win_ref:       (Lm, C, 1, 8, 128) VMEM — raw window rows for this tile
+    out_ref:       (1, 1, 8, 128) VMEM — similarity (padded dp[m-1][n])
+    wn2_s:         (Lm, 8, 128) VMEM scratch — |W[c]-m|² per window row
     """
     W2 = 2 * w
-    g = pl.program_id(0)
-    dma = pltpu.make_async_copy(win_hbm.at[:, :, g], win_s, sem)
-    dma.start()
-    dma.wait()
+    k = pl.program_id(1)
+    n = lens_ref[k]
+    m = means_ref[0, :, 0]  # (C, 8, 128)
+
+    def cbody(c, _):
+        d = win_ref[c, :, 0] - m
+        wn2_s[c] = jnp.sum(d * d, axis=0)
+        return 0
+
+    jax.lax.fori_loop(0, n, cbody, 0)
 
     inf_tile = jnp.full((SUBLANES, LANES), INF, jnp.float32)
+    prev0 = tuple(
+        jnp.zeros((SUBLANES, LANES), jnp.float32) if j == w else inf_tile
+        for j in range(W2)
+    )
 
-    for k in range(n_pairs):
-        n = lens[k]
-        m = means_ref[k, :, 0]  # (C, 8, 128)
+    def row(r, prev):
+        # template row as unrolled scalars (static lane indices — Mosaic has
+        # no dynamic-lane vector loads or 1-D shape casts) and its norm²
+        t = [templates_ref[0, r - 1, c] for c in range(C)]
+        tn = t[0] * t[0]
+        for c in range(1, C):
+            tn = tn + t[c] * t[c]
+        new = []
+        for j in range(W2):
+            cdp = r - w + j  # DP column (1-based)
+            wc = jnp.clip(cdp - 1, 0, Lm - 1)
+            # dot(T[r], W[c]-m) as C scalar×tile FMAs on (8,128) tiles
+            dot = t[0] * (win_ref[wc, 0, 0] - means_ref[0, 0, 0])
+            for c in range(1, C):
+                dot = dot + t[c] * (win_ref[wc, c, 0] - means_ref[0, c, 0])
+            mag = jnp.sqrt(tn * wn2_s[wc])
+            sim = jnp.where(mag == 0.0, 0.0, dot / jnp.where(mag == 0.0, 1.0, mag))
+            cost = 1.0 - sim
+            valid = (cdp >= 1) & (cdp <= jnp.minimum(n, r + w - 1))
+            cost = jnp.where(valid, cost, INF)
+            ins = prev[j + 1] if j + 1 < W2 else inf_tile
+            base = jnp.minimum(ins, prev[j])
+            new.append((cost, cost + base))
+        for j in range(1, W2):
+            new[j] = (new[j][0], jnp.minimum(new[j][1], new[j][0] + new[j - 1][1]))
+        return tuple(v for _, v in new)
 
-        def cbody(c, _):
-            d = win_s[c] - m
-            diff_s[c] = d
-            wn2_s[c] = jnp.sum(d * d, axis=0)
-            return 0
-
-        jax.lax.fori_loop(0, n, cbody, 0)
-
-        prev0 = tuple(
-            jnp.zeros((SUBLANES, LANES), jnp.float32) if j == w else inf_tile
-            for j in range(W2)
-        )
-
-        def row(r, prev):
-            t_row = templates_ref[k, r - 1]  # (C,)
-            tn = tnorms_ref[k, r - 1]  # scalar
-            new = []
-            for j in range(W2):
-                cdp = r - w + j  # DP column (1-based)
-                wc = jnp.clip(cdp - 1, 0, Lm - 1)
-                dot = jnp.sum(t_row[:, None, None] * diff_s[wc], axis=0)
-                mag2 = tn * wn2_s[wc]
-                mag = jnp.sqrt(mag2)
-                sim = jnp.where(mag == 0.0, 0.0, dot / jnp.where(mag == 0.0, 1.0, mag))
-                cost = 1.0 - sim
-                valid = (cdp >= 1) & (cdp <= jnp.minimum(n, r + w - 1))
-                cost = jnp.where(valid, cost, INF)
-                ins = prev[j + 1] if j + 1 < W2 else inf_tile
-                base = jnp.minimum(ins, prev[j])
-                new.append((cost, cost + base))
-            for j in range(1, W2):
-                new[j] = (new[j][0], jnp.minimum(new[j][1], new[j][0] + new[j - 1][1]))
-            return tuple(v for _, v in new)
-
-        final = jax.lax.fori_loop(1, n, row, prev0)
-        # similarity = padded dp[m-1][n]: after the r = n-1 row, offset w+1
-        out_ref[0, k] = final[w + 1]
+    final = jax.lax.fori_loop(1, n, row, prev0)
+    # similarity = padded dp[m-1][n]: after the r = n-1 row, offset w+1
+    out_ref[0, 0] = final[w + 1]
 
 
 def fused_dtw_batch(
@@ -100,7 +102,7 @@ def fused_dtw_batch(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """win: (B, Lm, C); means: (B, P, C); templates: (P, Lm, C);
-    tnorms: (P, Lm); lens: static per-pair lengths → sims (B, P)."""
+    tnorms: (P, Lm); lens: per-pair lengths → sims (B, P)."""
     B, Lm, C = win.shape
     P = means.shape[1]
     w = band
@@ -113,42 +115,44 @@ def fused_dtw_batch(
     # stream-minor layouts
     win_t = jnp.transpose(win, (1, 2, 0)).reshape(Lm, C, n_tiles, SUBLANES, LANES)
     means_t = jnp.transpose(means, (1, 2, 0)).reshape(P, C, n_tiles, SUBLANES, LANES)
+    lens_arr = jnp.asarray(np.asarray(lens, np.int32))
 
-    n_pairs = P
-    kern = partial(_kernel, tuple(int(x) for x in lens), Lm, C, w, n_pairs)
-    out = pl.pallas_call(
-        kern,
-        grid=(n_tiles,),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles, P),
         in_specs=[
             pl.BlockSpec(
-                (n_pairs, C, 1, SUBLANES, LANES),
-                lambda g: (0, 0, g, 0, 0),
+                (1, C, 1, SUBLANES, LANES),
+                lambda g, k, lens: (k, 0, g, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((n_pairs, Lm, C), lambda g: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_pairs, Lm), lambda g: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # full array; tile DMA'd in-kernel
+            pl.BlockSpec(
+                (1, Lm, C), lambda g, k, lens: (k, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (Lm, C, 1, SUBLANES, LANES),
+                lambda g, k, lens: (0, 0, g, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=pl.BlockSpec(
-            (1, n_pairs, SUBLANES, LANES),
-            lambda g: (g, 0, 0, 0),
+            (1, 1, SUBLANES, LANES),
+            lambda g, k, lens: (g, k, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, n_pairs, SUBLANES, LANES), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((Lm, C, SUBLANES, LANES), jnp.float32),  # win tile
-            pltpu.VMEM((Lm, C, SUBLANES, LANES), jnp.float32),  # diff
-            pltpu.VMEM((Lm, SUBLANES, LANES), jnp.float32),  # wn2
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((Lm, SUBLANES, LANES), jnp.float32),
         ],
+    )
+    out = pl.pallas_call(
+        partial(_kernel, Lm, C, w),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, P, SUBLANES, LANES), jnp.float32),
         interpret=interpret,
-    )(means_t, templates, tnorms, win_t)
+    )(lens_arr, means_t, templates, win_t)
     # (tiles, P, 8, 128) → (B, P)
     out = jnp.transpose(out, (0, 2, 3, 1)).reshape(Bp, P)
     return out[:B]
-
-
-from functools import lru_cache
 
 
 @lru_cache(maxsize=16)

@@ -97,9 +97,14 @@ def _dtw_scores(static: StepStatic, params: StepParams, win: jnp.ndarray):
     )
     seq_b = jnp.concatenate([normwin, a_normwin])
     lens_all = jnp.concatenate([t_lens.reshape(-1), a_lens])
+    import os
+
     from ..ops.dtw_dispatch import use_pallas
-    if use_pallas():
-        # fused cost+DP kernel: one VMEM-resident pass per stream tile
+    if use_pallas() and os.environ.get("RUSTPOTTER_FUSED") == "1":
+        # fused cost+DP kernel: one VMEM-resident pass per stream tile.
+        # Opt-in for now: passes interpret-mode equivalence, but Mosaic
+        # compile latency through the remote-compile service is still being
+        # tuned (see docs/ARCHITECTURE.md)
         from ..ops.fused_dtw import make_fused_scorer
 
         means_all = jnp.concatenate([means.reshape(D * K, C), a_means])
