@@ -43,6 +43,13 @@ from .wakewords.files import (
     load_wakeword,
     save_wakeword,
 )
+from .audio.encoder import AudioEncoder
+from .audio.filters import BandPassFilter, GainNormalizerFilter
+from .wakewords.trainer import (
+    WakewordModelTrainOptions,
+    train_from_buffers,
+    train_from_dirs,
+)
 
 __version__ = "0.1.0"
 
