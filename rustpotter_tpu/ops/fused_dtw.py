@@ -52,15 +52,19 @@ def _kernel(Lm, C, w, lens_ref, means_ref, templates_ref,
         wn2_s[c] = jnp.sum(d * d, axis=0)
         return 0
 
-    jax.lax.fori_loop(0, n, cbody, 0)
+    # static bounds throughout: traced bounds lower to scf.while with the
+    # full vector carry, which Mosaic compiles pathologically slowly
+    jax.lax.fori_loop(0, Lm, cbody, 0)
 
     inf_tile = jnp.full((SUBLANES, LANES), INF, jnp.float32)
     prev0 = tuple(
         jnp.zeros((SUBLANES, LANES), jnp.float32) if j == w else inf_tile
         for j in range(W2)
     )
+    carry0 = (prev0, inf_tile)
 
-    def row(r, prev):
+    def row(r, carry):
+        prev, result = carry
         # template row as unrolled scalars (static lane indices — Mosaic has
         # no dynamic-lane vector loads or 1-D shape casts) and its norm²
         t = [templates_ref[0, r - 1, c] for c in range(C)]
@@ -85,11 +89,13 @@ def _kernel(Lm, C, w, lens_ref, means_ref, templates_ref,
             new.append((cost, cost + base))
         for j in range(1, W2):
             new[j] = (new[j][0], jnp.minimum(new[j][1], new[j][0] + new[j - 1][1]))
-        return tuple(v for _, v in new)
+        vals = tuple(v for _, v in new)
+        # harvest similarity at padded cell (m-1, n): row r == n-1, offset w+1
+        result = jnp.where(r == n - 1, vals[w + 1], result)
+        return (vals, result)
 
-    final = jax.lax.fori_loop(1, n, row, prev0)
-    # similarity = padded dp[m-1][n]: after the r = n-1 row, offset w+1
-    out_ref[0, 0] = final[w + 1]
+    _, result = jax.lax.fori_loop(1, Lm + 1, row, carry0)
+    out_ref[0, 0] = result
 
 
 def fused_dtw_batch(
