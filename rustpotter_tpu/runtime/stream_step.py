@@ -100,11 +100,11 @@ def _dtw_scores(static: StepStatic, params: StepParams, win: jnp.ndarray):
     import os
 
     from ..ops.dtw_dispatch import use_pallas
-    if use_pallas() and os.environ.get("RUSTPOTTER_FUSED") == "1":
-        # fused cost+DP kernel: one VMEM-resident pass per stream tile.
-        # Opt-in for now: passes interpret-mode equivalence, but Mosaic
-        # compile latency through the remote-compile service is still being
-        # tuned (see docs/ARCHITECTURE.md)
+    if use_pallas() and os.environ.get("RUSTPOTTER_FUSED", "1") == "1":
+        # fused cost+DP kernel: one VMEM-resident pass per stream tile
+        # (default on TPU; RUSTPOTTER_FUSED=0 falls back to the two-stage
+        # band_costs + DP-kernel path). Measured on v5e: 4.8× the unfused
+        # step at B=8192, max|Δscore| 1.5e-5 vs the unfused chain.
         from ..ops.fused_dtw import make_fused_scorer
 
         means_all = jnp.concatenate([means.reshape(D * K, C), a_means])
