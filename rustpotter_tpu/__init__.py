@@ -50,12 +50,23 @@ from .wakewords.trainer import (
     train_from_buffers,
     train_from_dirs,
 )
+from .runtime.detector import Rustpotter, RustpotterDetection
+from .runtime.batch import BatchedDetector
 
 __version__ = "0.1.0"
 
 __all__ = [
+    "AudioEncoder",
     "AudioFmt",
     "BandPassConfig",
+    "BandPassFilter",
+    "BatchedDetector",
+    "GainNormalizerFilter",
+    "Rustpotter",
+    "RustpotterDetection",
+    "WakewordModelTrainOptions",
+    "train_from_buffers",
+    "train_from_dirs",
     "DetectorConfig",
     "Endianness",
     "FiltersConfig",
