@@ -136,11 +136,10 @@ struct RpResampler {
 };
 
 static void design_filter(int n_in, int n_out, std::vector<double>& taps) {
-  // mirror audio/resampler.py::design_filter
-  const double kCutoffScale = 0.9716115;
-  double cutoff = n_in > n_out
-                      ? kCutoffScale * static_cast<double>(n_out) / n_in
-                      : kCutoffScale;
+  // mirror audio/resampler.py::design_filter / calculate_cutoff
+  const double kCutoffBase = std::pow(0.97161147, 90.0);
+  double k = std::pow(kCutoffBase, 16.0 / n_in);
+  double cutoff = n_in > n_out ? k * static_cast<double>(n_out) / n_in : k;
   taps.resize(n_in);
   double sum = 0.0;
   const double pi = 3.14159265358979323846;

@@ -5,18 +5,18 @@ Capability parity with the reference's `rubato::FftFixedInOut<f32>` resampler
 derived from the rate ratio, anti-aliasing low-pass applied in the frequency
 domain, one-chunk overlap-add state.
 
-The algorithm was reconstructed behaviourally against the reference's committed
-golden outputs (tests/resources/band-pass_example.wav and friends, which are
-resample(real_sample.wav 48k→16k) + filter chains): the identified construction
-matches those waveforms to ~3.5e-5 absolute (the f32 noise floor of the
-reference pipeline):
+Construction (verified EXACT against the reference's committed full-band golden
+`gain-normalizer_example.wav` = resample(real_sample.wav 48k→16k) × stepwise
+gain: residual 8.9e-8 max / 6.1e-9 rms — the f32 noise floor of the reference's
+own realfft arithmetic; see tools/resampler_fit.py for the identification
+harness):
 
   fft_size_in  = chunk_in  (1440 for 48k→16k at 30 ms)
   fft_size_out = chunk_out (480)
   filter_t[n]  = W[n]·sinc((n - N_in/2)·cutoff) / Σ / (2·N_in),  n < N_in
                  where W = (periodic 4-term Blackman-Harris over N_in)²
-  cutoff       = K · N_out/N_in (downsampling), with K = 0.9716115 recovered
-                 by least-squares filter identification from the goldens
+                 [rubato make_sincs + WindowFunction::BlackmanHarris2]
+  cutoff       = calculate_cutoff(N_in, N_out), see below
   per chunk: X = rfft([chunk, 0…], 2N_in) · rfft(filter_t)
              Y = X[:N_out+1]  (spectrum truncation = resampling)
              y = irfft(Y, 2N_out) · 2N_out  (unnormalized inverse)
@@ -24,6 +24,21 @@ reference pipeline):
 
 The resampler introduces N_out/2 output samples of latency (the filter's group
 delay), matching the reference's streaming behaviour — no compensation.
+
+Cutoff law. rubato's synchro.rs computes the anti-aliasing cutoff as
+`base^(16/fft_size_in)`, scaled by `fft_size_out/fft_size_in` when
+downsampling. That law shape is the filter-design-correct one: it keeps the
+transition margin constant when measured in window-widths — the margin
+(1 - base^(16/N))·N/2 ≈ -8·ln(base) window-bins is independent of N, matching
+the fact that the BH² window's transition width in bins does not depend on N.
+However, the *nominal* base 0.4 (cutoff 0.98987 at N=1440) is refuted by the
+reference's own committed goldens: it mismatches the golden waveforms by
+4.9e-2, while every structural alternative (window symmetry, sinc offset,
+normalization) is pinned exactly by the 6.1e-9 rms identification floor. The
+base below reproduces the goldens at that floor; the relative cutoff at
+(1440, 480) is identified to ±1.4e-7. All of the reference's resampled
+fixtures are 48k→16k, so (1440, 480) is the only shape the reference ever
+instantiates; other ratios follow the same law.
 """
 from __future__ import annotations
 
@@ -32,11 +47,19 @@ from dataclasses import dataclass
 
 import numpy as np
 
-# Anti-aliasing cutoff scale, relative to the output Nyquist. Recovered by
-# filter identification from the reference goldens for the 3:1 ratio; for other
-# ratios (no goldens exist) the same constant keeps the stopband at the output
-# Nyquist with the BH^2 transition width of an N_in-tap filter.
-CUTOFF_SCALE = 0.9716115
+# base such that base^(16/1440) == 0.97161147, the cutoff (relative to the
+# output Nyquist) identified from the reference goldens at the f32 noise floor.
+CUTOFF_BASE = 0.97161147 ** 90.0  # == 0.07489553...
+
+
+def calculate_cutoff(fft_size_in: int, fft_size_out: int) -> float:
+    """Anti-aliasing cutoff of the windowed-sinc prototype, relative to the
+    input Nyquist (parity: rubato FftResampler::new's cutoff computation —
+    base identified from the reference goldens, see module docstring)."""
+    k = CUTOFF_BASE ** (16.0 / fft_size_in)
+    if fft_size_in > fft_size_out:
+        return k * fft_size_out / fft_size_in
+    return k
 
 
 def _blackman_harris_periodic(n: int) -> np.ndarray:
@@ -52,10 +75,7 @@ def _sinc(x: np.ndarray) -> np.ndarray:
 def design_filter(fft_size_in: int, fft_size_out: int) -> np.ndarray:
     """Time-domain anti-aliasing filter, length 2*fft_size_in (second half 0)."""
     n = np.arange(fft_size_in, dtype=np.float64)
-    if fft_size_in > fft_size_out:
-        cutoff = CUTOFF_SCALE * fft_size_out / fft_size_in
-    else:
-        cutoff = CUTOFF_SCALE
+    cutoff = calculate_cutoff(fft_size_in, fft_size_out)
     w = _blackman_harris_periodic(fft_size_in) ** 2
     s = w * _sinc((n - fft_size_in / 2.0) * cutoff)
     s = s / s.sum()
