@@ -5,10 +5,12 @@ I — coefficient derivation :31-54, filter loop :19-30) and
 src/audio/gain_normalizer_filter.rs (rolling-RMS gain with 0.1-step rounding
 and ±1 clamping — :14-38).
 
-Two implementations share the coefficient/gain math:
+Two implementations share the coefficient math:
   - host (numpy f32, sequential) — used by builder tooling and as oracle
-  - JAX (lax.scan over samples for the IIR; pure elementwise for the gain) —
-    the in-step runtime path, vectorizable over streams.
+  - JAX (lax.scan over samples for the IIR) — the in-step runtime path
+    (runtime/stream_step.py), vectorizable over streams. The gain rounding is
+    half-away-from-zero (floor(x·10+0.5), matching Rust f32::round for
+    positive gains) in BOTH paths.
 """
 from __future__ import annotations
 
@@ -78,24 +80,6 @@ class BandPassFilter:
         return out
 
 
-def gain_normalizer_gain(
-    rms_window_mean: jnp.ndarray,
-    rms_level_ref_sqrt: jnp.ndarray,
-    min_gain: float,
-    max_gain: float,
-) -> jnp.ndarray:
-    """gain = clamp(round(10·√ref/√mean)/10, min, max) — reference :24-28."""
-    gain = rms_level_ref_sqrt / jnp.sqrt(rms_window_mean)
-    return jnp.clip(jnp.round(gain * 10.0) / 10.0, min_gain, max_gain)
-
-
-def apply_gain(signal: jnp.ndarray, gain: jnp.ndarray) -> jnp.ndarray:
-    """Samples scaled and clamped to ±1; gain==1 leaves samples untouched
-    (the reference skips the loop entirely then — same result)."""
-    scaled = jnp.clip(signal * gain[..., None], -1.0, 1.0)
-    return jnp.where(gain[..., None] == 1.0, signal, scaled)
-
-
 class GainNormalizerFilter:
     """Stateful host-side gain normalizer (oracle / builder tooling)."""
 
@@ -134,8 +118,15 @@ class GainNormalizerFilter:
             acc += np.float32(v)
         frame_rms = np.float32(acc / np.float32(len(self.window)))
         gain = np.float32(self.rms_level_sqrt / np.sqrt(frame_rms))
+        # Rust f32::round is half-away-from-zero; gain > 0 so floor(x+0.5)
+        # matches exactly (gain_normalizer_filter.rs:27). Same formula as the
+        # in-graph runtime step (stream_step.py) — do not use banker's rounding.
         gain = np.float32(
-            np.clip(np.round(gain * np.float32(10.0)) / np.float32(10.0), self.min_gain, self.max_gain)
+            np.clip(
+                np.floor(gain * np.float32(10.0) + np.float32(0.5)) / np.float32(10.0),
+                self.min_gain,
+                self.max_gain,
+            )
         )
         if gain != 1.0:
             signal = np.clip(signal.astype(np.float32) * gain, -1.0, 1.0)

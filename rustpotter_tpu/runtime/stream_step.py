@@ -29,7 +29,7 @@ from ..constants import SAMPLES_PER_FRAME, SAMPLES_PER_SHIFT
 from ..ops import frontend
 from ..ops.dtw import band_costs
 from ..ops.dtw_dispatch import get_banded_dtw
-from ..ops.scoring import cost_to_score, nn_inverse_similarity, percentile_sorted
+from ..ops.scoring import cost_to_score, nn_inverse_similarity
 from ..config import ScoreMode
 from ..wakewords import nn as nn_mod
 from .bundle import StepParams, StepStatic

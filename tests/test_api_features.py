@@ -94,3 +94,24 @@ def test_mixed_mfcc_sizes_rejected(resources):
 
     with pytest.raises(ValueError, match="mfcc size"):
         rp.add_wakeword("b", load_wakeword(os.path.join(resources, "ok_casa-tiny.rpw")))
+
+
+def test_gain_rounding_half_away_from_zero():
+    """Gain quantization at an exact .x5 boundary must round half away from
+    zero like Rust f32::round (gain_normalizer_filter.rs:27) — NOT banker's
+    rounding. 0.25 → 0.3 (banker's would give 0.2)."""
+    from rustpotter_tpu.audio.filters import GainNormalizerFilter
+
+    # sqrt(0.00390625)=0.0625 and sqrt(0.0625)=0.25 are exact in f32, so
+    # gain = 0.0625/0.25 = 0.25 exactly → x10 = 2.5, the tie case
+    f = GainNormalizerFilter(0.1, 1.0, fixed_rms_level=0.00390625)
+    sig = np.ones(8, np.float32)
+    out, gain = f.filter(sig, 0.0625)
+    assert gain == np.float32(0.3), gain
+    np.testing.assert_allclose(out, 0.3 * sig, rtol=1e-7)
+
+    # and the in-graph runtime formula agrees (same floor(x*10+0.5) form)
+    import jax.numpy as jnp
+
+    g = jnp.clip(jnp.floor(jnp.float32(0.25) * 10.0 + 0.5) / 10.0, 0.1, 1.0)
+    assert float(g) == 0.30000001192092896  # f32(0.3)

@@ -28,7 +28,10 @@ import numpy as np
 PER_CHIP_TARGET = 100_000 / 16
 
 
-def _dtw_wakeword(rng):
+def _dtw_wakeword():
+    # own fixed-seed rng: template contents must not depend on which
+    # scenarios ran earlier in the same invocation
+    rng = np.random.default_rng(7)
     from rustpotter_tpu.wakewords.files import WakewordRef
 
     feats = {
@@ -43,16 +46,19 @@ def _dtw_wakeword(rng):
     )
 
 
-def _nn_wakeword(rng):
+def _nn_wakeword():
     from rustpotter_tpu.wakewords.files import ModelType, WakewordModel
     from rustpotter_tpu.wakewords.nn import init_params, params_to_tensor_data
 
     train_size = 168
-    params = init_params(ModelType.MEDIUM, train_size * 17, 16, 2, seed=3)
+    mfcc_size = 16
+    # input = flattened train_size×mfcc_size window, matching the runtime's
+    # NN path (stream_step._nn_scores_one flattens (train_size, mfcc_size))
+    params = init_params(ModelType.MEDIUM, train_size * mfcc_size, mfcc_size, 2, seed=3)
     return WakewordModel(
         labels=["bench", "none"],
         train_size=train_size,
-        mfcc_size=16,
+        mfcc_size=mfcc_size,
         m_type=ModelType.MEDIUM,
         weights=params_to_tensor_data(params),
         rms_level=0.05,
@@ -66,7 +72,7 @@ def _run(name, wakewords, score_mode, B, T):
     from rustpotter_tpu import RustpotterConfig
     from rustpotter_tpu.runtime.batch import BatchedDetector
 
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(1)  # per-scenario fixed seed for input frames
     cfg = RustpotterConfig()
     cfg.detector.score_mode = score_mode
     cfg.detector.avg_threshold = 0.2
@@ -106,31 +112,37 @@ def main():
 
     from rustpotter_tpu import ScoreMode
 
-    rng = np.random.default_rng(0)
     B = int(os.environ.get("BENCH_STREAMS", "8192"))
     T = int(os.environ.get("BENCH_CHUNKS", "34"))
     scenarios = {
         "dtw_max": lambda: _run(
-            "dtw_max", [("w", _dtw_wakeword(rng))], ScoreMode.MAX, B, T
+            "dtw_max", [("w", _dtw_wakeword())], ScoreMode.MAX, B, T
         ),
         "dtw_median": lambda: _run(
-            "dtw_median", [("w", _dtw_wakeword(rng))], ScoreMode.MEDIAN, B, T
+            "dtw_median", [("w", _dtw_wakeword())], ScoreMode.MEDIAN, B, T
         ),
         "nn_medium": lambda: _run(
-            "nn_medium", [("w", _nn_wakeword(rng))], ScoreMode.MAX, B, T
+            "nn_medium", [("w", _nn_wakeword())], ScoreMode.MAX, B, T
         ),
         "dtw_10k": lambda: _run(
-            "dtw_10k", [("w", _dtw_wakeword(rng))], ScoreMode.MAX, 10240, T
+            "dtw_10k", [("w", _dtw_wakeword())], ScoreMode.MAX, 10240, T
         ),
         "mixed": lambda: _run(
             "mixed",
-            [("w", _dtw_wakeword(rng)), ("m", _nn_wakeword(rng))],
+            [("w", _dtw_wakeword()), ("m", _nn_wakeword())],
             ScoreMode.MAX,
             B,
             T,
         ),
     }
     picked = sys.argv[1:] or list(scenarios)
+    unknown = [n for n in picked if n not in scenarios]
+    if unknown:
+        print(
+            f"unknown scenario(s) {unknown}; available: {', '.join(scenarios)}",
+            file=sys.stderr,
+        )
+        sys.exit(2)
     for name in picked:
         scenarios[name]()
 
