@@ -131,7 +131,7 @@ int rp_wav_parse(const uint8_t* data, int64_t n, RpWavInfo* info) {
 struct RpResampler {
   int n_in;        // input chunk (e.g. 1440)
   int n_out;       // output chunk (e.g. 480)
-  std::vector<double> taps_rev;  // reversed taps for unit-stride dot products
+  std::vector<float> taps_rev;   // reversed f32 taps (unit-stride SIMD dots)
   std::vector<float> concat;     // [history(n_in) | current(n_in)]
 };
 
@@ -163,7 +163,8 @@ void* rp_resampler_new(int n_in, int n_out) {
   std::vector<double> taps;
   design_filter(n_in, n_out, taps);
   r->taps_rev.resize(n_in);
-  for (int i = 0; i < n_in; ++i) r->taps_rev[i] = taps[n_in - 1 - i];
+  for (int i = 0; i < n_in; ++i)
+    r->taps_rev[i] = static_cast<float>(taps[n_in - 1 - i]);
   r->concat.assign(2 * n_in, 0.0f);
   return r;
 }
@@ -187,19 +188,18 @@ void rp_resampler_process(void* handle, const float* in, float* out) {
   const int ratio = n_in / n_out;
   std::memcpy(r->concat.data() + n_in, in, n_in * sizeof(float));
   const float* s = r->concat.data();
-  const double* h = r->taps_rev.data();
+  const float* h = r->taps_rev.data();
   for (int m = 0; m < n_out; ++m) {
     const float* x = s + m * ratio + 1;
-    double a0 = 0.0, a1 = 0.0, a2 = 0.0, a3 = 0.0;
+    // 16 partial f32 accumulators: vectorizes to fma lanes; the blocked sum
+    // keeps the error ~1e-6 of full scale (tested vs the FFT-OLA oracle)
+    float a[16] = {0};
     int k = 0;
-    for (; k + 4 <= n_in; k += 4) {
-      a0 += h[k] * x[k];
-      a1 += h[k + 1] * x[k + 1];
-      a2 += h[k + 2] * x[k + 2];
-      a3 += h[k + 3] * x[k + 3];
-    }
-    double acc = (a0 + a1) + (a2 + a3);
-    for (; k < n_in; ++k) acc += h[k] * x[k];
+    for (; k + 16 <= n_in; k += 16)
+      for (int j = 0; j < 16; ++j) a[j] += h[k + j] * x[k + j];
+    double acc = 0.0;
+    for (int j = 0; j < 16; ++j) acc += a[j];
+    for (; k < n_in; ++k) acc += static_cast<double>(h[k]) * x[k];
     out[m] = static_cast<float>(acc);
   }
   // current chunk becomes the history

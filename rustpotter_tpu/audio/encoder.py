@@ -2,7 +2,12 @@
 
 Capability parity with /root/reference/src/audio/encoder.rs (AudioEncoder) and
 src/audio/audio_types.rs (Sample scaling by T::MAX — audio_types.rs:102-122).
-Host-side (ingest); the batched TPU runtime does the same decode vectorized.
+
+Host-side (ingest). The batched TPU runtime takes f32 frames; of this module's
+work only the *resampling* has an in-graph twin (stream_step.py with
+in_graph_resample=True). Byte decode stays on the host — numpy here, or the
+C++ library (rustpotter_tpu.native) for bulk ingest; throughput numbers in
+docs/PERF.md (tools/bench_host_ingest.py).
 """
 from __future__ import annotations
 

@@ -32,10 +32,34 @@ class _WavInfo(ctypes.Structure):
     ]
 
 
+def _try_build() -> None:
+    """Build the shared library in-tree (one g++ invocation, ~1 s). Disabled
+    with RUSTPOTTER_NO_NATIVE_BUILD=1."""
+    if os.environ.get("RUSTPOTTER_NO_NATIVE_BUILD") == "1":
+        return
+    src_dir = os.path.dirname(_LIB_PATH)
+    if not os.path.exists(os.path.join(src_dir, "ingest.cpp")):
+        return
+    import subprocess
+
+    try:
+        subprocess.run(
+            ["make", "-C", src_dir],
+            check=True,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+            timeout=120,
+        )
+    except Exception:
+        pass
+
+
 def load_library():
     global _lib
     if _lib is not None:
         return _lib
+    if not os.path.exists(_LIB_PATH):
+        _try_build()
     if not os.path.exists(_LIB_PATH):
         return None
     lib = ctypes.CDLL(_LIB_PATH)
