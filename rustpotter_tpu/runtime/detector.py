@@ -97,6 +97,8 @@ class Rustpotter:
             self._static = self._params = self._step = self._scan = self._state = None
             return
         self._static, self._params = build_bundle(self.wakewords, self.config)
+        # keep params on-device: host numpy args would re-upload per dispatch
+        self._params = jax.device_put(self._params)
         step = make_step(self._static)
         self._step = jax.jit(step)
 

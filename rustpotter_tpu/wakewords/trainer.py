@@ -84,7 +84,11 @@ def train_from_buffers(
     prior_model: Optional[WakewordModel] = None,
     seed: int = 0,
     verbose: bool = True,
+    history_out: Optional[dict] = None,
 ) -> WakewordModel:
+    """history_out (optional dict) receives {'loss': [per-epoch train loss],
+    'test_accuracy': final test-set accuracy} — the telemetry the reference
+    prints during training (wakeword_model_train.rs:210-218)."""
     if not samples:
         raise ValueError("No training data provided")
     if not test_samples:
@@ -148,13 +152,18 @@ def train_from_buffers(
     params_t = tuple(params)
     chunk = max(1, options.test_epochs)
     epoch = 0
+    loss_history: List[float] = []
     while epoch < options.epochs:
         n = min(chunk, options.epochs - epoch)
         params_t, losses = jax.lax.scan(sgd_step, params_t, None, length=n)
         epoch += n
+        loss_history.extend(float(x) for x in np.asarray(losses))
         if verbose:
             acc = float(test_acc(params_t))
             print(f"{epoch:4} train loss: {float(losses[-1]):8.5f} test acc: {100.0 * acc:5.2f}%")
+    if history_out is not None:
+        history_out["loss"] = loss_history
+        history_out["test_accuracy"] = float(test_acc(params_t))
 
     weights = params_to_tensor_data([(np.asarray(w), np.asarray(b)) for w, b in params_t])
     return WakewordModel(

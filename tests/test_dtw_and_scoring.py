@@ -117,3 +117,18 @@ def test_fused_kernel_matches_unfused():
         )
     )
     np.testing.assert_allclose(fused, oracle, rtol=3e-6, atol=1e-4)
+
+
+def test_sort_network_matches_np_sort():
+    """The compare-exchange network used by the percentile reduction must be
+    a correct ascending sort for every K ≤ 8 (and fall back above)."""
+    from rustpotter_tpu.runtime.stream_step import sort_last_axis
+
+    rng = np.random.default_rng(0)
+    for K in range(1, 10):
+        x = rng.normal(size=(257, K)).astype(np.float32)
+        got = np.asarray(sort_last_axis(jnp.asarray(x)))
+        np.testing.assert_array_equal(got, np.sort(x, axis=-1))
+    # with INF padding (the padded-template case)
+    x = np.where(rng.random((64, 5)) < 0.3, np.inf, rng.normal(size=(64, 5))).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(sort_last_axis(jnp.asarray(x))), np.sort(x, axis=-1))
