@@ -3,18 +3,33 @@
 The unfused scoring path materializes, per 10 ms shift, the per-pair
 normalized windows (B·P·L·C), ten rolled window reads, and the cost band
 (B·P·L·2w) — several GB of HBM traffic per step at large stream batches and
-~99% of step time. This kernel fuses the whole scoring chain per (stream-tile,
-pair) grid cell: window rows sit in VMEM (the window block index depends only
-on the tile, so it is reused across the pair iterations), the per-pair CMN
-mean is subtracted on the fly, and each DP row computes its band of cosine
-costs in registers before the min-plus update. HBM traffic drops to reading
-the window once per tile.
+~99% of step time. This kernel fuses the whole scoring chain per stream-tile
+grid cell: window rows sit in VMEM, the per-pair CMN mean is handled
+algebraically, and each DP row computes its band of cosine costs in registers
+before the min-plus update. HBM traffic drops to reading the window once per
+tile.
+
+Kernel structure (all measured on a real v5e chip via perfetto traces,
+tools/kernel_probe.py — wall-clock async loops through the remote-execution
+tunnel are NOT trustworthy):
+  - ALL pairs are processed inside one grid cell, with the pair loop INSIDE
+    the row loop: the ~C·2w window-tile loads per DP row are issued once and
+    reused by every pair (the per-(row,pair) load variant measured 1.66 ms
+    at B=8192, P=6, Lm=100).
+  - dot(T[r], W[c]-m) = dot(T[r], W[c]) - dot(T[r], m): the second term is
+    (pair,row)-indexed and precomputed into VMEM scratch, so the per-cell CMN
+    subtraction (C vector subs per band cell) disappears from the inner loop.
+  - cos = (dot(T', W[c]) - dot(T', m)) * rwn[c] with T' = T·rsqrt(|T|²)
+    pre-normalized OUTSIDE the kernel (a scalar-unit rsqrt/select per row
+    measurably costs more than it saves — sreg↔vreg domain crossings) and
+    rwn = guarded 1/|W[c]-m| precomputed per (pair, window row): no sqrt or
+    divide in the inner loop.
 
 Numerics: cosine terms use f32 mul-accumulate over C with the same
-dot/sqrt/guard structure as the reference (comparator.rs:28-48); the DP chain
-is strictly left-to-right like ops/pallas_dtw.py. Norm accumulation order
-differs from the unfused path by ~1 ulp (reduction tree), within the
-framework's score tolerance.
+dot/guard structure as the reference (comparator.rs:28-48): |T|=0 or
+|W-m|=0 ⇒ cos 0. The DP chain is strictly left-to-right like
+ops/pallas_dtw.py. Accumulation order differs from the unfused path by
+~1 ulp (reduction tree), within the framework's score tolerance.
 """
 from __future__ import annotations
 
@@ -31,71 +46,93 @@ SUBLANES = 8
 LANES = 128
 
 
-def _kernel(Lm, C, w, lens_ref, means_ref, templates_ref,
-            win_ref, out_ref, wn2_s):
-    """Grid cell = (stream tile g, pair k); blocks deliver the right slices.
+def _kernel(Lm, C, w, P, lens_ref, means_ref, templates_ref,
+            win_ref, out_ref, *scratch):
+    """Grid cell = stream tile g; blocks deliver this tile's slices.
 
     lens_ref:      (P,) i32 scalar-prefetch — per-pair DP lengths
-    means_ref:     (1, C, 1, 8, 128) VMEM — this pair's CMN means, this tile
-    templates_ref: (1, Lm, C) VMEM — this pair's CMN'd template rows
+    means_ref:     (P, C, 1, 8, 128) VMEM — per-pair CMN means, this tile
+    templates_ref: (P, Lm, C) VMEM — pre-normalized template rows
     win_ref:       (Lm, C, 1, 8, 128) VMEM — raw window rows for this tile
-    out_ref:       (1, 1, 8, 128) VMEM — similarity (padded dp[m-1][n])
-    wn2_s:         (Lm, 8, 128) VMEM scratch — |W[c]-m|² per window row
+    out_ref:       (1, P, 8, 128) VMEM — similarity (padded dp[m-1][n])
+    scratch:       2P VMEM buffers (Lm, 8, 128): per-pair rwn then dotm
     """
     W2 = 2 * w
-    k = pl.program_id(1)
-    n = lens_ref[k]
-    m = means_ref[0, :, 0]  # (C, 8, 128)
+    rwn_s = scratch[:P]
+    dotm_s = scratch[P:]
 
-    def cbody(c, _):
-        d = win_ref[c, :, 0] - m
-        wn2_s[c] = jnp.sum(d * d, axis=0)
-        return 0
-
+    # --- pre-passes, per pair: guarded 1/|W[c]-m| and dot(T'[r], m).
     # static bounds throughout: traced bounds lower to scf.while with the
     # full vector carry, which Mosaic compiles pathologically slowly
-    jax.lax.fori_loop(0, Lm, cbody, 0)
+    for k in range(P):
+        m = means_ref[k, :, 0]  # (C, 8, 128)
+
+        def cbody(c, _, k=k, m=m):
+            d = win_ref[c, :, 0] - m
+            wn2 = jnp.sum(d * d, axis=0)
+            rwn_s[k][c] = jnp.where(wn2 == 0.0, 0.0, jax.lax.rsqrt(wn2))
+            return 0
+
+        jax.lax.fori_loop(0, Lm, cbody, 0)
+
+        def dbody(r, _, k=k, m=m):
+            acc = templates_ref[k, r, 0] * m[0]
+            for c in range(1, C):
+                acc = acc + templates_ref[k, r, c] * m[c]
+            dotm_s[k][r] = acc
+            return 0
+
+        jax.lax.fori_loop(0, Lm, dbody, 0)
 
     inf_tile = jnp.full((SUBLANES, LANES), INF, jnp.float32)
     prev0 = tuple(
         jnp.zeros((SUBLANES, LANES), jnp.float32) if j == w else inf_tile
         for j in range(W2)
     )
-    carry0 = (prev0, inf_tile)
+    carry0 = ((prev0,) * P, (inf_tile,) * P)
 
     def row(r, carry):
-        prev, result = carry
-        # template row as unrolled scalars (static lane indices — Mosaic has
-        # no dynamic-lane vector loads or 1-D shape casts) and its norm²
-        t = [templates_ref[0, r - 1, c] for c in range(C)]
-        tn = t[0] * t[0]
-        for c in range(1, C):
-            tn = tn + t[c] * t[c]
-        new = []
+        prevs, results = carry
+        new_prevs, new_results = [], []
+        # window tiles for this row's band columns, loaded once and shared
+        # by every pair; band slot j has DP column cdp = r - w + j
+        wv = []
         for j in range(W2):
-            cdp = r - w + j  # DP column (1-based)
-            wc = jnp.clip(cdp - 1, 0, Lm - 1)
-            # dot(T[r], W[c]-m) as C scalar×tile FMAs on (8,128) tiles
-            dot = t[0] * (win_ref[wc, 0, 0] - means_ref[0, 0, 0])
-            for c in range(1, C):
-                dot = dot + t[c] * (win_ref[wc, c, 0] - means_ref[0, c, 0])
-            mag = jnp.sqrt(tn * wn2_s[wc])
-            sim = jnp.where(mag == 0.0, 0.0, dot / jnp.where(mag == 0.0, 1.0, mag))
-            cost = 1.0 - sim
-            valid = (cdp >= 1) & (cdp <= jnp.minimum(n, r + w - 1))
-            cost = jnp.where(valid, cost, INF)
-            ins = prev[j + 1] if j + 1 < W2 else inf_tile
-            base = jnp.minimum(ins, prev[j])
-            new.append((cost, cost + base))
-        for j in range(1, W2):
-            new[j] = (new[j][0], jnp.minimum(new[j][1], new[j][0] + new[j - 1][1]))
-        vals = tuple(v for _, v in new)
-        # harvest similarity at padded cell (m-1, n): row r == n-1, offset w+1
-        result = jnp.where(r == n - 1, vals[w + 1], result)
-        return (vals, result)
+            wc = jnp.clip(r - w + j - 1, 0, Lm - 1)
+            wv.append((wc, [win_ref[wc, c, 0] for c in range(C)]))
+        for k in range(P):
+            prev = prevs[k]
+            n = lens_ref[k]
+            # pre-normalized template row as unrolled scalars (static lane
+            # indices — Mosaic has no dynamic-lane vector loads or 1-D casts)
+            t = [templates_ref[k, r - 1, c] for c in range(C)]
+            dotm = dotm_s[k][r - 1]
+            new = []
+            for j in range(W2):
+                cdp = r - w + j  # DP column (1-based)
+                wc, wtiles = wv[j]
+                # dot(T'[r], W[c]) as C scalar×tile FMAs on (8,128) tiles
+                dot = t[0] * wtiles[0]
+                for c in range(1, C):
+                    dot = dot + t[c] * wtiles[c]
+                cost = 1.0 - (dot - dotm) * rwn_s[k][wc]
+                valid = (cdp >= 1) & (cdp <= jnp.minimum(n, r + w - 1))
+                cost = jnp.where(valid, cost, INF)
+                ins = prev[j + 1] if j + 1 < W2 else inf_tile
+                base = jnp.minimum(ins, prev[j])
+                new.append((cost, cost + base))
+            for j in range(1, W2):
+                new[j] = (new[j][0], jnp.minimum(new[j][1], new[j][0] + new[j - 1][1]))
+            vals = tuple(v for _, v in new)
+            # harvest similarity at padded cell (m-1, n): row r == n-1,
+            # offset w+1
+            new_results.append(jnp.where(r == n - 1, vals[w + 1], results[k]))
+            new_prevs.append(vals)
+        return (tuple(new_prevs), tuple(new_results))
 
-    _, result = jax.lax.fori_loop(1, Lm + 1, row, carry0)
-    out_ref[0, 0] = result
+    _, results = jax.lax.fori_loop(1, Lm + 1, row, carry0)
+    for k in range(P):
+        out_ref[0, k] = results[k]
 
 
 def fused_dtw_batch(
@@ -108,10 +145,15 @@ def fused_dtw_batch(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """win: (B, Lm, C); means: (B, P, C); templates: (P, Lm, C);
-    tnorms: (P, Lm); lens: per-pair lengths → sims (B, P)."""
+    tnorms: (P, Lm) = |T[r]|² per row; lens: per-pair lengths → sims (B, P)."""
     B, Lm, C = win.shape
     P = means.shape[1]
     w = band
+    # pre-normalize template rows (guarded: zero rows stay zero ⇒ cos 0);
+    # keeps scalar-unit rsqrt/select out of the kernel's row loop
+    templates = templates * jnp.where(
+        tnorms == 0.0, 0.0, jax.lax.rsqrt(tnorms)
+    )[..., None]
     TILE = SUBLANES * LANES
     n_tiles = -(-B // TILE)
     Bp = n_tiles * TILE
@@ -125,35 +167,46 @@ def fused_dtw_batch(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_tiles, P),
+        grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(
-                (1, C, 1, SUBLANES, LANES),
-                lambda g, k, lens: (k, 0, g, 0, 0),
+                (P, C, 1, SUBLANES, LANES),
+                lambda g, lens: (0, 0, g, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, Lm, C), lambda g, k, lens: (k, 0, 0), memory_space=pltpu.VMEM
+                (P, Lm, C), lambda g, lens: (0, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (Lm, C, 1, SUBLANES, LANES),
-                lambda g, k, lens: (0, 0, g, 0, 0),
+                lambda g, lens: (0, 0, g, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, SUBLANES, LANES),
-            lambda g, k, lens: (g, k, 0, 0),
+            (1, P, SUBLANES, LANES),
+            lambda g, lens: (g, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((Lm, SUBLANES, LANES), jnp.float32),
+            pltpu.VMEM((Lm, SUBLANES, LANES), jnp.float32) for _ in range(2 * P)
         ],
     )
+    # raise the scoped-VMEM cap (default 16 MiB): window block (+ its double
+    # buffer) + 2P scratch rows exceed it at Lm=100, P=6; v5e has 128 MiB
+    try:
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        )
+    except TypeError:  # older pallas: TPUCompilerParams
+        compiler_params = pltpu.TPUCompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        )
     out = pl.pallas_call(
-        partial(_kernel, Lm, C, w),
+        partial(_kernel, Lm, C, w, P),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles, P, SUBLANES, LANES), jnp.float32),
+        compiler_params=compiler_params,
         interpret=interpret,
     )(lens_arr, means_t, templates, win_t)
     # (tiles, P, 8, 128) → (B, P)

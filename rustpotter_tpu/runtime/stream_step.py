@@ -183,7 +183,8 @@ def _nn_scores_one(static: StepStatic, params: StepParams, win: jnp.ndarray, j: 
     n_labels = len(meta.labels)
     # Rust max_by returns the LAST maximal element on ties
     label_idx = n_labels - 1 - jnp.argmax(logits[::-1])
-    label_prob = logits[label_idx]
+    # == logits[label_idx], without the per-stream gather (serializes on TPU)
+    label_prob = jnp.max(logits)
     none_prob = logits[meta.none_idx] if meta.none_idx >= 0 else jnp.float32(0.0)
     ref10 = jnp.float32(static.score_ref * 10.0)
     score = nn_inverse_similarity(label_prob, none_prob, ref10)
@@ -227,7 +228,15 @@ def run_wakeword_detectors(static: StepStatic, params: StepParams, win: jnp.ndar
     masked = jnp.where(detected, score, -INF)
     best = jnp.argmax(masked)
     any_det = jnp.any(detected)
-    return any_det, best, score[best], avg[best], scores[best]
+    # values at `best` via one-hot masked sums, not x[best]: under vmap a
+    # per-stream dynamic index lowers to a serializing gather (measured ~7 ms
+    # of an 8.8 ms step at B=8192). All of these are only consumed when
+    # any_det holds, where masked[best] == score[best].
+    onehot = jnp.arange(score.shape[0]) == best
+    score_best = jnp.max(masked)
+    avg_best = jnp.sum(jnp.where(onehot, avg, 0.0))
+    scores_best = jnp.sum(jnp.where(onehot[:, None], scores, 0.0), axis=0)
+    return any_det, best, score_best, avg_best, scores_best
 
 
 # ------------------------------------------------------------------ the step

@@ -1,0 +1,71 @@
+"""Time the fused DTW kernel alone at bench shapes (B, Lm=100, C=16, w=5, P=6).
+
+Uses a jax profiler perfetto trace and reports the custom-call's on-device
+duration. Wall-clock async loops through the axon tunnel are NOT trustworthy
+(dispatch pipelining/result caching can hide device time entirely); the trace
+is ground truth.
+
+Usage: python tools/kernel_probe.py [B] [iters]
+"""
+from __future__ import annotations
+
+import collections
+import glob
+import gzip
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def trace_kernel_us(fn, args, n, label_contains=("fn", "closed_call")):
+    """Run fn n times under a profiler trace; return {name: us_per_call}."""
+    import jax
+
+    out = fn(*args)
+    jax.block_until_ready(out)
+    tmpdir = tempfile.mkdtemp(prefix="kprobe_")
+    jax.profiler.start_trace(tmpdir, create_perfetto_trace=True)
+    for _ in range(n):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    jax.profiler.stop_trace()
+    files = sorted(glob.glob(tmpdir + "/**/perfetto_trace.json.gz", recursive=True))
+    with gzip.open(files[-1], "rt") as f:
+        tr = json.load(f)
+    ev = tr["traceEvents"] if isinstance(tr, dict) else tr
+    dur = collections.Counter()
+    for e in ev:
+        if e.get("ph") == "X" and "dur" in e:
+            dur[e.get("name", "?")] += e["dur"]
+    return {name: d / n for name, d in dur.most_common(10)}
+
+
+def main():
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
+    N = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    import jax
+    import jax.numpy as jnp
+
+    from rustpotter_tpu.ops.fused_dtw import fused_dtw_batch
+
+    rng = np.random.default_rng(0)
+    Lm, C, w = 100, 16, 5
+    lens = (100, 98, 96, 94, 92, 97)
+    P = len(lens)
+    win = jnp.asarray(rng.normal(0, 1, (B, Lm, C)).astype(np.float32))
+    means = jnp.asarray(rng.normal(0, 0.2, (B, P, C)).astype(np.float32))
+    templates = jnp.asarray(rng.normal(0, 1, (P, Lm, C)).astype(np.float32))
+    tnorms = jnp.sum(templates * templates, axis=-1)
+
+    fn = jax.jit(lambda w_, m_, t_, n_: fused_dtw_batch(w_, m_, t_, n_, lens, w))
+    for name, us in trace_kernel_us(fn, (win, means, templates, tnorms), N).items():
+        print(f"{us:10.1f} us/call  {name[:90]}")
+
+
+if __name__ == "__main__":
+    main()
