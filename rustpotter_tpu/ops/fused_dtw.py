@@ -30,6 +30,14 @@ dot/guard structure as the reference (comparator.rs:28-48): |T|=0 or
 |W-m|=0 ⇒ cos 0. The DP chain is strictly left-to-right like
 ops/pallas_dtw.py. Accumulation order differs from the unfused path by
 ~1 ulp (reduction tree), within the framework's score tolerance.
+Known parity divergence (intentional, ADVICE r2): the reference guards
+sqrt(dot_a*dot_b)==0, which also fires when the f32 PRODUCT of the two
+norms underflows to 0 with both norms nonzero; this kernel guards the two
+norms separately (|T|²==0, |W-m|²==0), so a subnormal-product row would
+yield a real cosine where the reference returns 0. Requires both row norms
+< ~1e-19 — unreachable with real MFCC data (log-mel features have O(1-10)
+values), and the separate guards avoid a per-cell product+compare in the
+inner loop.
 """
 from __future__ import annotations
 
@@ -135,6 +143,112 @@ def _kernel(Lm, C, w, P, lens_ref, means_ref, templates_ref,
         out_ref[0, k] = results[k]
 
 
+def _kernel_v2(Lm, C, w, P, jch, lens_ref, means_ref, templates_ref,
+               win_ref, out_ref, *scratch):
+    """Two-phase variant of `_kernel` (same blocks + 2P rwn/dotm scratch,
+    plus P cost-band scratch buffers).
+
+    The v1 kernel keeps the whole DP frontier for every pair (P*2w tiles)
+    live across the row loop while ALSO issuing the band dot products in the
+    same body — Mosaic spills the frontier to VMEM and the kernel measures
+    ~4x its FMA roofline (1.70 ms at B=8192, P=6, Lm=100 on v5e). Splitting
+    the work fixes the register pressure:
+
+      phase 1 (cost band): for each DP row, accumulate the 2w*P cosine dots
+        with a (j-chunk, coeff)-outer / pair-inner loop — each window tile is
+        loaded once and feeds P FMAs while only P*jch accumulators are live,
+        and there is NO loop-carried vector state. Costs land in VMEM scratch.
+      phase 2 (DP): one fori_loop per pair over the precomputed band rows —
+        the carry is just the 2w-tile frontier + the result tile, which fits
+        in registers.
+
+    f32 accumulation order over C is the same linear chain as v1, so scores
+    are bit-identical to v1 (and stay within the framework tolerance vs the
+    unfused path).
+    """
+    W2 = 2 * w
+    rwn_s = scratch[:P]
+    dotm_s = scratch[P:2 * P]
+    cost_s = scratch[2 * P:]
+
+    # --- pre-passes, per pair: guarded 1/|W[c]-m| and dot(T'[r], m)
+    for k in range(P):
+        m = means_ref[k, :, 0]  # (C, 8, 128)
+
+        def cbody(c, _, k=k, m=m):
+            d = win_ref[c, :, 0] - m
+            wn2 = jnp.sum(d * d, axis=0)
+            rwn_s[k][c] = jnp.where(wn2 == 0.0, 0.0, jax.lax.rsqrt(wn2))
+            return 0
+
+        jax.lax.fori_loop(0, Lm, cbody, 0)
+
+        def dbody(r, _, k=k, m=m):
+            acc = templates_ref[k, r, 0] * m[0]
+            for c in range(1, C):
+                acc = acc + templates_ref[k, r, c] * m[c]
+            dotm_s[k][r] = acc
+            return 0
+
+        jax.lax.fori_loop(0, Lm, dbody, 0)
+
+    # --- phase 1: cost band into scratch. Row body is pure FMA streaming.
+    def cost_row(r, _):
+        # r: DP row (1-based); template row r-1; band slot j covers window
+        # column wc = clip(r - w + j - 1) (validity applied in phase 2)
+        for j0 in range(0, W2, jch):
+            jj_n = min(jch, W2 - j0)
+            accs = [[None] * jj_n for _ in range(P)]
+            for c in range(C):
+                ts = [templates_ref[k, r - 1, c] for k in range(P)]
+                for jj in range(jj_n):
+                    wc = jnp.clip(r - w + (j0 + jj) - 1, 0, Lm - 1)
+                    wt = win_ref[wc, c, 0]
+                    for k in range(P):
+                        prodsum = ts[k] * wt
+                        accs[k][jj] = prodsum if accs[k][jj] is None \
+                            else accs[k][jj] + prodsum
+            for jj in range(jj_n):
+                wc = jnp.clip(r - w + (j0 + jj) - 1, 0, Lm - 1)
+                for k in range(P):
+                    cost_s[k][r - 1, j0 + jj] = 1.0 - (
+                        (accs[k][jj] - dotm_s[k][r - 1]) * rwn_s[k][wc]
+                    )
+        return 0
+
+    jax.lax.fori_loop(1, Lm + 1, cost_row, 0)
+
+    # --- phase 2: banded DP per pair, small register frontier
+    inf_tile = jnp.full((SUBLANES, LANES), INF, jnp.float32)
+    for k in range(P):
+        n = lens_ref[k]
+        prev0 = tuple(
+            jnp.zeros((SUBLANES, LANES), jnp.float32) if j == w else inf_tile
+            for j in range(W2)
+        )
+
+        def dp_row(r, carry, k=k, n=n):
+            prev, result = carry
+            new = []
+            for j in range(W2):
+                cdp = r - w + j  # DP column (1-based)
+                cost = cost_s[k][r - 1, j]
+                valid = (cdp >= 1) & (cdp <= jnp.minimum(n, r + w - 1))
+                cost = jnp.where(valid, cost, INF)
+                ins = prev[j + 1] if j + 1 < W2 else inf_tile
+                base = jnp.minimum(ins, prev[j])
+                new.append((cost, cost + base))
+            for j in range(1, W2):
+                new[j] = (new[j][0],
+                          jnp.minimum(new[j][1], new[j][0] + new[j - 1][1]))
+            vals = tuple(v for _, v in new)
+            result = jnp.where(r == n - 1, vals[w + 1], result)
+            return (vals, result)
+
+        _, result = jax.lax.fori_loop(1, Lm + 1, dp_row, (prev0, inf_tile))
+        out_ref[0, k] = result
+
+
 def fused_dtw_batch(
     win: jnp.ndarray,
     means: jnp.ndarray,
@@ -143,9 +257,15 @@ def fused_dtw_batch(
     lens: tuple,
     band: int,
     interpret: bool = False,
+    variant: int = 2,
+    jch: int = 5,
 ) -> jnp.ndarray:
     """win: (B, Lm, C); means: (B, P, C); templates: (P, Lm, C);
-    tnorms: (P, Lm) = |T[r]|² per row; lens: per-pair lengths → sims (B, P)."""
+    tnorms: (P, Lm) = |T[r]|² per row; lens: per-pair lengths → sims (B, P).
+
+    variant 2 (default) = two-phase cost-band + per-pair DP kernel
+    (`_kernel_v2`); variant 1 = the original single-loop kernel, kept for
+    A/B probing (tools/kernel_probe.py --v1)."""
     B, Lm, C = win.shape
     P = means.shape[1]
     w = band
@@ -165,45 +285,60 @@ def fused_dtw_batch(
     means_t = jnp.transpose(means, (1, 2, 0)).reshape(P, C, n_tiles, SUBLANES, LANES)
     lens_arr = jnp.asarray(np.asarray(lens, np.int32))
 
+    grid_in_specs = [
+        pl.BlockSpec(
+            (P, C, 1, SUBLANES, LANES),
+            lambda g, lens: (0, 0, g, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (P, Lm, C), lambda g, lens: (0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (Lm, C, 1, SUBLANES, LANES),
+            lambda g, lens: (0, 0, g, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    scratch_shapes = [
+        pltpu.VMEM((Lm, SUBLANES, LANES), jnp.float32) for _ in range(2 * P)
+    ]
+    if variant == 2:
+        scratch_shapes += [
+            pltpu.VMEM((Lm, 2 * w, SUBLANES, LANES), jnp.float32)
+            for _ in range(P)
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec(
-                (P, C, 1, SUBLANES, LANES),
-                lambda g, lens: (0, 0, g, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (P, Lm, C), lambda g, lens: (0, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (Lm, C, 1, SUBLANES, LANES),
-                lambda g, lens: (0, 0, g, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        in_specs=grid_in_specs,
         out_specs=pl.BlockSpec(
             (1, P, SUBLANES, LANES),
             lambda g, lens: (g, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[
-            pltpu.VMEM((Lm, SUBLANES, LANES), jnp.float32) for _ in range(2 * P)
-        ],
+        scratch_shapes=scratch_shapes,
     )
-    # raise the scoped-VMEM cap (default 16 MiB): window block (+ its double
-    # buffer) + 2P scratch rows exceed it at Lm=100, P=6; v5e has 128 MiB
+    # raise the scoped-VMEM cap past the 16 MiB default when the working set
+    # needs it (window + means blocks double-buffered, rwn/dotm/cost scratch),
+    # with ~25% headroom for Mosaic temporaries — sized from the actual
+    # shapes so small configs still compile on 16/32 MiB-VMEM parts (ADVICE r2)
+    tile_b = SUBLANES * LANES * 4  # bytes per (8,128) f32 tile
+    need = (
+        2 * (Lm * C + P * C) * tile_b  # win + means blocks, double-buffered
+        + P * Lm * C * 4 * 2  # template block (f32), double-buffered
+        + sum(int(np.prod(s.shape)) * 4 for s in scratch_shapes)
+        + 2 * P * tile_b  # output block
+    )
+    vmem_limit = max(16 * 1024 * 1024, int(need * 1.25))
     try:
-        compiler_params = pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
-        )
+        compiler_params = pltpu.CompilerParams(vmem_limit_bytes=vmem_limit)
     except TypeError:  # older pallas: TPUCompilerParams
-        compiler_params = pltpu.TPUCompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
-        )
+        compiler_params = pltpu.TPUCompilerParams(vmem_limit_bytes=vmem_limit)
+    kern = partial(_kernel, Lm, C, w, P) if variant == 1 else \
+        partial(_kernel_v2, Lm, C, w, P, jch)
     out = pl.pallas_call(
-        partial(_kernel, Lm, C, w, P),
+        kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles, P, SUBLANES, LANES), jnp.float32),
         compiler_params=compiler_params,

@@ -27,6 +27,7 @@ class NNMeta:
     train_size: int
     labels: Tuple[str, ...]
     none_idx: int  # -1 if "none" not among labels
+    m_type: str = "tiny"  # ModelType value; drives honest roofline sizes
 
 
 @dataclass(frozen=True)
@@ -64,6 +65,10 @@ class StepStatic:
     # samples at input_rate and resamples on-chip
     input_samples: int = 480
     input_rate: int = DETECTOR_INTERNAL_SAMPLE_RATE
+    # DTW kernel selection, resolved at bundle build (NOT a trace-time env
+    # read — part of the compile key): None = auto (fused kernel on TPU,
+    # two-stage scan path elsewhere)
+    dtw_fused: Optional[bool] = None
 
 
 import jax
@@ -117,8 +122,16 @@ def build_bundle(
     wakewords: List[Tuple[str, Wakeword]],
     config: RustpotterConfig,
     in_graph_resample: bool = False,
+    dtw_fused: Optional[bool] = None,
 ) -> Tuple[StepStatic, StepParams]:
     det = config.detector
+    if dtw_fused is None:
+        # env consulted ONCE here, at bundle build on the host — the traced
+        # step reads only the static field (compile-key-visible)
+        import os
+
+        env = os.environ.get("RUSTPOTTER_FUSED")
+        dtw_fused = None if env is None else env == "1"
     input_samples, input_rate = 480, DETECTOR_INTERNAL_SAMPLE_RATE
     if in_graph_resample and config.fmt.sample_rate != DETECTOR_INTERNAL_SAMPLE_RATE:
         from ..audio.resampler import chunk_sizes
@@ -188,7 +201,10 @@ def build_bundle(
     for _, w in models:
         labels = tuple(w.labels)
         none_idx = labels.index("none") if "none" in labels else -1
-        nn_meta.append(NNMeta(train_size=w.train_size, labels=labels, none_idx=none_idx))
+        nn_meta.append(NNMeta(
+            train_size=w.train_size, labels=labels, none_idx=none_idx,
+            m_type=w.m_type.value,
+        ))
         nn_params.append(
             tuple(
                 (np.asarray(p[0]), np.asarray(p[1]))
@@ -233,6 +249,7 @@ def build_bundle(
         dtw_template_names=tuple(template_names),
         input_samples=input_samples,
         input_rate=input_rate,
+        dtw_fused=dtw_fused,
     )
     fixed_gain_ref = config.filters.gain_normalizer.gain_ref
     gain_ref = fixed_gain_ref if fixed_gain_ref is not None else target_rms

@@ -134,10 +134,9 @@ def _dtw_scores(static: StepStatic, params: StepParams, win: jnp.ndarray):
     )
     seq_b = jnp.concatenate([normwin, a_normwin])
     lens_all = jnp.concatenate([t_lens.reshape(-1), a_lens])
-    import os
-
     from ..ops.dtw_dispatch import use_pallas
-    if use_pallas() and os.environ.get("RUSTPOTTER_FUSED", "1") == "1":
+    fused = static.dtw_fused if static.dtw_fused is not None else use_pallas()
+    if fused:
         # fused cost+DP kernel: one VMEM-resident pass per stream tile
         # (default on TPU; RUSTPOTTER_FUSED=0 falls back to the two-stage
         # band_costs + DP-kernel path). Measured on v5e: 4.8× the unfused

@@ -86,9 +86,9 @@ def layer_sizes_from_meta(meta, mfcc_size: int):
     from ..wakewords.files import ModelType
     from ..wakewords.nn import layer_sizes
 
-    # meta stores train_size + labels; reconstruct tiny-model by default size
     return layer_sizes(
-        ModelType.TINY, meta.train_size * mfcc_size, mfcc_size, len(meta.labels)
+        ModelType(meta.m_type), meta.train_size * mfcc_size, mfcc_size,
+        len(meta.labels),
     )
 
 

@@ -22,8 +22,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def trace_kernel_us(fn, args, n, label_contains=("fn", "closed_call")):
-    """Run fn n times under a profiler trace; return {name: us_per_call}."""
+def trace_kernel_us(fn, args, n, label_contains=None):
+    """Run fn n times under a profiler trace; return {name: us_per_call}.
+
+    label_contains: optional tuple of substrings — when given, only complete
+    ('X') events whose name contains one of them are summed, isolating e.g.
+    the fused custom-call from surrounding copies (ADVICE r2)."""
     import jax
 
     out = fn(*args)
@@ -41,13 +45,23 @@ def trace_kernel_us(fn, args, n, label_contains=("fn", "closed_call")):
     dur = collections.Counter()
     for e in ev:
         if e.get("ph") == "X" and "dur" in e:
-            dur[e.get("name", "?")] += e["dur"]
+            name = e.get("name", "?")
+            if label_contains and not any(s in name for s in label_contains):
+                continue
+            dur[name] += e["dur"]
     return {name: d / n for name, d in dur.most_common(10)}
 
 
 def main():
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
-    N = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    opts = [a for a in sys.argv[1:] if a.startswith("--")]
+    B = int(args[0]) if len(args) > 0 else 8192
+    N = int(args[1]) if len(args) > 1 else 20
+    variant = 1 if "--v1" in opts else 2
+    jch = 5
+    for o in opts:
+        if o.startswith("--jch="):
+            jch = int(o.split("=")[1])
     import jax
     import jax.numpy as jnp
 
@@ -62,7 +76,12 @@ def main():
     templates = jnp.asarray(rng.normal(0, 1, (P, Lm, C)).astype(np.float32))
     tnorms = jnp.sum(templates * templates, axis=-1)
 
-    fn = jax.jit(lambda w_, m_, t_, n_: fused_dtw_batch(w_, m_, t_, n_, lens, w))
+    fn = jax.jit(
+        lambda w_, m_, t_, n_: fused_dtw_batch(
+            w_, m_, t_, n_, lens, w, variant=variant, jch=jch
+        )
+    )
+    print(f"variant={variant} jch={jch} B={B}")
     for name, us in trace_kernel_us(fn, (win, means, templates, tnorms), N).items():
         print(f"{us:10.1f} us/call  {name[:90]}")
 

@@ -6,6 +6,10 @@ Variants (cumulative):
   dtwraw   — _dtw_scores runs (cums/means/kernel/reduce) but its outputs are
              discarded in favor of constants: measures the scoring chain
              without the detection state feedback
+  dtwall   — like dtwraw but every wakeword head (DTW and NN) runs with
+             outputs discarded: adds the NN forward cost
+  dtwlive  — all heads run and feed the real argmax/best-candidate merge,
+             but the detection state feedback is still stubbed
   full     — unmodified step
 
 Usage: python tools/step_bisect.py [B] [iters]
