@@ -73,14 +73,18 @@ def test_real_noisy_recording_with_filters(resources):
         assert d.counter == counter, (d.counter, counter)
 
 
-# NN-path tolerance note: the classifier NN is a chaotic amplifier of float
-# noise — layer-1 cancellation factors reach ~200x and per-frame logit margins
-# swing by ±8. The reference's asserted logits embed its own f32 rustfft/gemm
-# rounding (~1e-7 of waveform amplitude, verified: our resampler matches the
-# committed golden waveforms to 8.9e-8 absolute, and our features are stable to
-# 5e-5 logits under f32↔f64). Reproducing the exact logits would require
-# bit-exact emulation of rustfft's f32 rounding. The detection-level contract
-# holds: same single detection, same label, score within 1e-3, counter ±1.
+# NN-path tolerance note — MEASURED justification (docs/NN_EXACTNESS.md,
+# tools/fft_oracle_experiment.py): a rustfft-6.1-order f32 FFT oracle
+# reproduces the committed .rpw features to ulp p50=2 (31% bit-exact, beating
+# a perfect-f64 FFT — plan structure validated); the NN forward is NOT
+# feature-chaotic (±2ulp features → 3e-6 logits). The exact-logit assertions
+# are unreachable because ok_casa.wav has rms 6.4e-4 and log-mel of its
+# near-silent bins amplifies waveform noise at the f32 floor (1e-7 absolute)
+# into ±8 logit swings — our resampler is at that floor (8.9e-8 vs the
+# committed full-band golden), so the per-window argmax picks among windows
+# whose margins differ by less than the irreducible noise. Contract tested:
+# same single detection, same label, score within 1e-3, counter ±1; eager
+# mode (deterministic frame choice, no argmax) is asserted at ±0.5 logits.
 def test_nn_trained_model(resources):
     cfg = RustpotterConfig()
     cfg.detector.avg_threshold = 0.0
