@@ -249,6 +249,243 @@ def _kernel_v2(Lm, C, w, P, jch, lens_ref, means_ref, templates_ref,
         out_ref[0, k] = result
 
 
+def _kernel_v3(Lm, C, w, D, K, jch, lens_ref, means_ref, win_ref, tsm_ref,
+               dotm_ref, gate_ref, out_ref, *scratch):
+    """Gated three-improvement variant of `_kernel_v2` (v5e probe numbers in
+    tools/vpu_probe.py motivate each):
+
+      1. template scalars come from SMEM (tsm_ref, (P*Lm, C)): a (1x1) VMEM
+         element load + broadcast measures ~26 cycles (probe `sload`), an SMEM
+         scalar load ~2 (probe `smemload`) — the v2 kernel spent ~40% of its
+         time on template loads.
+      2. dot(T'[r], m) comes in precomputed (dotm_ref) — an MXU einsum outside
+         the kernel — instead of a P·Lm·C scalar-load pre-pass.
+      3. the avg-template pairs are scored FIRST, and each wakeword's template
+         pairs are computed only when ANY stream in the tile passes the
+         avg-gate bound (gate_ref, sim-domain, +inf disables): the reference's
+         early abort (wakeword_comp.rs:85-94) as a tile-granular skip. Skipped
+         pairs write +inf sims → cost_to_score → 0, which downstream masking
+         already treats as "no detection" (gated-out streams never read their
+         template scores).
+
+    Pair layout (matches _dtw_scores): p = d*K + k for templates, D*K + d for
+    the avg pair of wakeword d. Scratch: P rwn buffers (Lm, 8, 128) +
+    max(K, 1) cost-band buffers (Lm, 2w, 8, 128), reused across wakewords.
+    """
+    W2 = 2 * w
+    P = D * K + D
+    rwn_s = scratch[:P]
+    cost_s = scratch[P:]
+    g = pl.program_id(0)
+
+    # lane-validity mask for the gate reduction: padded streams produce
+    # finite garbage sims that must not keep a tile alive. lens_ref[P] = B.
+    iota = (
+        jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 0) * LANES
+        + jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 1)
+    )
+    lane_valid = (g * (SUBLANES * LANES) + iota) < lens_ref[P]
+
+    def compute_rwn(p):
+        m = means_ref[p, :, 0]  # (C, 8, 128)
+
+        def cbody(c, _):
+            d = win_ref[c, :, 0] - m
+            wn2 = jnp.sum(d * d, axis=0)
+            rwn_s[p][c] = jnp.where(wn2 == 0.0, 0.0, jax.lax.rsqrt(wn2))
+            return 0
+
+        jax.lax.fori_loop(0, Lm, cbody, 0)
+
+    def cost_phase(pairs):
+        """Band-cost rows for a static tuple of pair ids, W tiles shared."""
+        np_ = len(pairs)
+
+        def cost_row(r, _):
+            wcs = [jnp.clip(r - w + j - 1, 0, Lm - 1) for j in range(W2)]
+            for j0 in range(0, W2, jch):
+                jj_n = min(jch, W2 - j0)
+                accs = [[None] * jj_n for _ in range(np_)]
+                for c in range(C):
+                    ts = [tsm_ref[p * Lm + r - 1, c] for p in pairs]
+                    for jj in range(jj_n):
+                        wt = win_ref[wcs[j0 + jj], c, 0]
+                        for i in range(np_):
+                            prodsum = ts[i] * wt
+                            accs[i][jj] = prodsum if accs[i][jj] is None \
+                                else accs[i][jj] + prodsum
+                for jj in range(jj_n):
+                    for i, p in enumerate(pairs):
+                        cost_s[i][r - 1, j0 + jj] = 1.0 - (
+                            (accs[i][jj] - dotm_ref[p, r - 1, 0])
+                            * rwn_s[p][wcs[j0 + jj]]
+                        )
+            return 0
+
+        jax.lax.fori_loop(1, Lm + 1, cost_row, 0)
+
+    inf_tile = jnp.full((SUBLANES, LANES), INF, jnp.float32)
+
+    def dp_phase(i, p):
+        """Banded DP over cost_s[i] for pair id p; writes out_ref and
+        returns the similarity tile."""
+        n = lens_ref[p]
+        prev0 = tuple(
+            jnp.zeros((SUBLANES, LANES), jnp.float32) if j == w else inf_tile
+            for j in range(W2)
+        )
+
+        def dp_row(r, carry):
+            prev, result = carry
+            new = []
+            for j in range(W2):
+                cdp = r - w + j
+                cost = cost_s[i][r - 1, j]
+                valid = (cdp >= 1) & (cdp <= jnp.minimum(n, r + w - 1))
+                cost = jnp.where(valid, cost, INF)
+                ins = prev[j + 1] if j + 1 < W2 else inf_tile
+                base = jnp.minimum(ins, prev[j])
+                new.append((cost, cost + base))
+            for j in range(1, W2):
+                new[j] = (new[j][0],
+                          jnp.minimum(new[j][1], new[j][0] + new[j - 1][1]))
+            vals = tuple(v for _, v in new)
+            result = jnp.where(r == n - 1, vals[w + 1], result)
+            return (vals, result)
+
+        _, result = jax.lax.fori_loop(1, Lm + 1, dp_row, (prev0, inf_tile))
+        out_ref[0, p] = result
+        return result
+
+    for d in range(D):
+        ap = D * K + d
+        compute_rwn(ap)
+        cost_phase((ap,))
+        avg_sim = dp_phase(0, ap)
+        gated = jnp.where(lane_valid, avg_sim, INF)
+        any_pass = jnp.any(gated <= gate_ref[d])
+        tpl_pairs = tuple(d * K + k for k in range(K))
+
+        @pl.when(any_pass)
+        def _compute(d=d, tpl_pairs=tpl_pairs):
+            for p in tpl_pairs:
+                compute_rwn(p)
+            cost_phase(tpl_pairs)
+            for i, p in enumerate(tpl_pairs):
+                dp_phase(i, p)
+
+        @pl.when(jnp.logical_not(any_pass))
+        def _skip(tpl_pairs=tpl_pairs):
+            for p in tpl_pairs:
+                out_ref[0, p] = inf_tile
+
+
+def fused_dtw_batch_v3(
+    win: jnp.ndarray,
+    means: jnp.ndarray,
+    templates: jnp.ndarray,
+    tnorms: jnp.ndarray,
+    gate_bounds: jnp.ndarray,
+    lens: tuple,
+    band: int,
+    D: int,
+    K: int,
+    interpret: bool = False,
+    jch: int = 5,
+) -> jnp.ndarray:
+    """v3 driver. Args as `fused_dtw_batch` plus gate_bounds: (D,) f32
+    sim-domain bounds (avg-pair sim <= bound keeps the tile computing that
+    wakeword's template pairs; +inf disables gating). Pair layout must be
+    templates (D*K) then avg pairs (D)."""
+    B, Lm, C = win.shape
+    P = means.shape[1]
+    assert P == D * K + D, (P, D, K)
+    w = band
+    templates = templates * jnp.where(
+        tnorms == 0.0, 0.0, jax.lax.rsqrt(tnorms)
+    )[..., None]
+    # dot(T'[r], m) per (stream, pair, row): MXU einsum outside the kernel.
+    # f32 at HIGHEST precision — the subtraction (dot - dotm) tolerates the
+    # ~1e-7 relative accumulation-order difference (documented tolerance).
+    dotm = jnp.einsum(
+        "bpc,plc->bpl", means, templates,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    TILE = SUBLANES * LANES
+    n_tiles = -(-B // TILE)
+    Bp = n_tiles * TILE
+    if Bp != B:
+        win = jnp.pad(win, ((0, Bp - B), (0, 0), (0, 0)))
+        means = jnp.pad(means, ((0, Bp - B), (0, 0), (0, 0)))
+        dotm = jnp.pad(dotm, ((0, Bp - B), (0, 0), (0, 0)))
+    win_t = jnp.transpose(win, (1, 2, 0)).reshape(Lm, C, n_tiles, SUBLANES, LANES)
+    means_t = jnp.transpose(means, (1, 2, 0)).reshape(P, C, n_tiles, SUBLANES, LANES)
+    dotm_t = jnp.transpose(dotm, (1, 2, 0)).reshape(P, Lm, n_tiles, SUBLANES, LANES)
+    # lens with the true B appended (for the kernel's lane-validity mask)
+    lens_arr = jnp.asarray(
+        np.concatenate([np.asarray(lens, np.int32), np.asarray([B], np.int32)])
+    )
+    tsm = templates.reshape(P * Lm, C)
+    gate_smem = gate_bounds.astype(jnp.float32)
+
+    grid_in_specs = [
+        pl.BlockSpec(
+            (P, C, 1, SUBLANES, LANES),
+            lambda g, lens: (0, 0, g, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (Lm, C, 1, SUBLANES, LANES),
+            lambda g, lens: (0, 0, g, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(
+            (P, Lm, 1, SUBLANES, LANES),
+            lambda g, lens: (0, 0, g, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    scratch_shapes = [
+        pltpu.VMEM((Lm, SUBLANES, LANES), jnp.float32) for _ in range(P)
+    ] + [
+        pltpu.VMEM((Lm, 2 * w, SUBLANES, LANES), jnp.float32)
+        for _ in range(max(K, 1))
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=grid_in_specs,
+        out_specs=pl.BlockSpec(
+            (1, P, SUBLANES, LANES),
+            lambda g, lens: (g, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=scratch_shapes,
+    )
+    tile_b = SUBLANES * LANES * 4
+    need = (
+        2 * (Lm * C + P * C + P * Lm) * tile_b  # win+means+dotm, dbl-buffered
+        + sum(int(np.prod(s.shape)) * 4 for s in scratch_shapes)
+        + 2 * P * tile_b
+    )
+    vmem_limit = max(16 * 1024 * 1024, int(need * 1.25))
+    try:
+        compiler_params = pltpu.CompilerParams(vmem_limit_bytes=vmem_limit)
+    except TypeError:
+        compiler_params = pltpu.TPUCompilerParams(vmem_limit_bytes=vmem_limit)
+    out = pl.pallas_call(
+        partial(_kernel_v3, Lm, C, w, D, K, jch),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, P, SUBLANES, LANES), jnp.float32),
+        compiler_params=compiler_params,
+        interpret=interpret,
+    )(lens_arr, means_t, win_t, tsm, dotm_t, gate_smem)
+    out = jnp.transpose(out, (0, 2, 3, 1)).reshape(Bp, P)
+    return out[:B]
+
+
 def fused_dtw_batch(
     win: jnp.ndarray,
     means: jnp.ndarray,
@@ -347,6 +584,42 @@ def fused_dtw_batch(
     # (tiles, P, 8, 128) → (B, P)
     out = jnp.transpose(out, (0, 2, 3, 1)).reshape(Bp, P)
     return out[:B]
+
+
+@lru_cache(maxsize=16)
+def make_fused_scorer_v3(lens: tuple, band: int, D: int, K: int):
+    """custom_vmap wrapper for the gated v3 kernel. The unbatched fallback
+    computes every pair unconditionally (gate ignored); the batched kernel
+    writes +inf template sims for tiles where no stream passes a wakeword's
+    avg-gate bound. The two are detection-equivalent — gated-out streams'
+    template scores are never consumed downstream (the masked prune in
+    stream_step._dtw_scores), mirroring the reference's early abort
+    (wakeword_comp.rs:85-94) where aborted windows produce no scores at all."""
+
+    def _single(win, means, templates, tnorms, gate_bounds):
+        from .dtw import band_costs, banded_dtw_batch
+
+        normwin = win[None] - means[:, None, :]  # (P, Lm, C)
+        costs = band_costs(templates, normwin, band)
+        return banded_dtw_batch(costs, jnp.asarray(lens, jnp.int32), band)
+
+    @jax.custom_batching.custom_vmap
+    def scorer(win, means, templates, tnorms, gate_bounds):
+        return _single(win, means, templates, tnorms, gate_bounds)
+
+    @scorer.def_vmap
+    def _rule(axis_size, in_batched, win, means, templates, tnorms, gate_bounds):
+        wb, mb, tb, nb, gb = in_batched
+        if not wb or not mb or tb or nb or gb:
+            raise NotImplementedError("unexpected batching pattern")
+        return (
+            fused_dtw_batch_v3(
+                win, means, templates, tnorms, gate_bounds, lens, band, D, K
+            ),
+            True,
+        )
+
+    return scorer
 
 
 @lru_cache(maxsize=16)

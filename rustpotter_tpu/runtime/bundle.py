@@ -69,6 +69,9 @@ class StepStatic:
     # read — part of the compile key): None = auto (fused kernel on TPU,
     # two-stage scan path elsewhere)
     dtw_fused: Optional[bool] = None
+    # fused-kernel variant: 3 = gated SMEM-template kernel (default),
+    # 2 = ungated two-phase kernel (RUSTPOTTER_FUSED_VARIANT=2)
+    dtw_fused_variant: int = 3
 
 
 import jax
@@ -124,14 +127,15 @@ def build_bundle(
     in_graph_resample: bool = False,
     dtw_fused: Optional[bool] = None,
 ) -> Tuple[StepStatic, StepParams]:
+    import os
+
     det = config.detector
     if dtw_fused is None:
         # env consulted ONCE here, at bundle build on the host — the traced
-        # step reads only the static field (compile-key-visible)
-        import os
-
+        # step reads only the static fields (compile-key-visible)
         env = os.environ.get("RUSTPOTTER_FUSED")
         dtw_fused = None if env is None else env == "1"
+    fused_variant = int(os.environ.get("RUSTPOTTER_FUSED_VARIANT", "3"))
     input_samples, input_rate = 480, DETECTOR_INTERNAL_SAMPLE_RATE
     if in_graph_resample and config.fmt.sample_rate != DETECTOR_INTERNAL_SAMPLE_RATE:
         from ..audio.resampler import chunk_sizes
@@ -250,6 +254,7 @@ def build_bundle(
         input_samples=input_samples,
         input_rate=input_rate,
         dtw_fused=dtw_fused,
+        dtw_fused_variant=fused_variant,
     )
     fixed_gain_ref = config.filters.gain_normalizer.gain_ref
     gain_ref = fixed_gain_ref if fixed_gain_ref is not None else target_rms

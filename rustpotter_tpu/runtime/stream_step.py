@@ -141,12 +141,34 @@ def _dtw_scores(static: StepStatic, params: StepParams, win: jnp.ndarray):
         # (default on TPU; RUSTPOTTER_FUSED=0 falls back to the two-stage
         # band_costs + DP-kernel path). Measured on v5e: 4.8× the unfused
         # step at B=8192, max|Δscore| 1.5e-5 vs the unfused chain.
-        from ..ops.fused_dtw import make_fused_scorer
-
         means_all = jnp.concatenate([means.reshape(D * K, C), a_means])
         tnorms = jnp.sum(seq_a * seq_a, axis=-1)
-        scorer = make_fused_scorer(static.dtw_pair_lens, w)
-        sims_all = scorer(win[:Lm], means_all, seq_a, tnorms)
+        # template SMEM footprint guards the v3 kernel (huge template sets
+        # fall back to the ungated v2)
+        smem_ok = (D * K + D) * Lm * C * 4 <= 256 * 1024
+        if static.dtw_fused_variant >= 3 and smem_ok:
+            from ..ops.fused_dtw import make_fused_scorer_v3
+
+            # avg-gate tile-skip bound, sim domain: score(sim) >= th
+            # ⟺ sim <= 2·La·ref·(1 + ln(1/th − 1)) (logistic is monotone ↓
+            # in sim). A small relative margin keeps the kernel's skip
+            # conservative vs the f32 score-domain comparison below, which
+            # stays authoritative per stream. +inf disables the gate
+            # (no avg template, or avg_threshold == 0).
+            gon = params.dtw_has_avg & (params.dtw_avg_threshold != 0.0)
+            tcl = jnp.clip(params.dtw_avg_threshold, 1e-6, 1.0 - 1e-6)
+            bnd = (
+                2.0 * a_lens.astype(jnp.float32) * static.score_ref
+                * (1.0 + jnp.log(1.0 / tcl - 1.0))
+            )
+            gate_bounds = jnp.where(gon, bnd + jnp.abs(bnd) * 1e-4 + 1e-4, INF)
+            scorer = make_fused_scorer_v3(static.dtw_pair_lens, w, D, K)
+            sims_all = scorer(win[:Lm], means_all, seq_a, tnorms, gate_bounds)
+        else:
+            from ..ops.fused_dtw import make_fused_scorer
+
+            scorer = make_fused_scorer(static.dtw_pair_lens, w)
+            sims_all = scorer(win[:Lm], means_all, seq_a, tnorms)
     else:
         costs = band_costs(seq_a, seq_b, w)  # (D*K + D, Lm, 2w)
         sims_all = get_banded_dtw(w)(costs, lens_all)

@@ -119,6 +119,67 @@ def test_fused_kernel_matches_unfused():
     np.testing.assert_allclose(fused, oracle, rtol=3e-6, atol=1e-4)
 
 
+def test_fused_v3_matches_oracle_and_gates():
+    """The gated v3 kernel (SMEM templates + external dotm + avg-gate tile
+    skip, interpret mode): with the gate disabled it must match the scan-path
+    oracle; with a finite gate bound, tiles where no stream passes write +inf
+    template sims while avg sims stay exact."""
+    from rustpotter_tpu.ops.fused_dtw import fused_dtw_batch_v3
+
+    rng = np.random.default_rng(4)
+    D, K = 2, 3
+    P = D * K + D
+    B, Lm, C, w = 40, 50, 8, 5
+    lens = (50, 41, 33, 47, 50, 38) + (45, 50)  # D*K templates then D avgs
+    win = rng.normal(0, 1, (B, Lm, C)).astype(np.float32)
+    templates = rng.normal(0, 1, (P, Lm, C)).astype(np.float32)
+    means = rng.normal(0, 0.2, (B, P, C)).astype(np.float32)
+    tnorms = np.sum(templates**2, axis=-1).astype(np.float32)
+    normwin = win[:, None, :, :] - means[:, :, None, :]
+    costs = band_costs(
+        jnp.asarray(np.broadcast_to(templates, (B, P, Lm, C))).reshape(B * P, Lm, C),
+        jnp.asarray(normwin).reshape(B * P, Lm, C),
+        w,
+    )
+    lens_b = jnp.asarray(np.broadcast_to(np.array(lens, np.int32), (B, P)).reshape(-1))
+    oracle = np.asarray(banded_dtw_batch(costs, lens_b, w)).reshape(B, P)
+
+    no_gate = jnp.full((D,), np.inf, jnp.float32)
+    got = np.asarray(
+        fused_dtw_batch_v3(
+            jnp.asarray(win), jnp.asarray(means), jnp.asarray(templates),
+            jnp.asarray(tnorms), no_gate, lens, w, D, K, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got, oracle, rtol=3e-6, atol=2e-4)
+
+    # gate wakeword 0 with a bound no stream meets; leave wakeword 1 open.
+    # B=40 < one 1024-stream tile, so the whole batch is one tile.
+    avg0 = oracle[:, D * K + 0]
+    bound = jnp.asarray([float(avg0.min()) - 1.0, np.inf], jnp.float32)
+    gated = np.asarray(
+        fused_dtw_batch_v3(
+            jnp.asarray(win), jnp.asarray(means), jnp.asarray(templates),
+            jnp.asarray(tnorms), bound, lens, w, D, K, interpret=True,
+        )
+    )
+    assert np.all(np.isinf(gated[:, 0:K]))  # wakeword 0 templates skipped
+    np.testing.assert_allclose(gated[:, K : D * K], oracle[:, K : D * K],
+                               rtol=3e-6, atol=2e-4)  # wakeword 1 computed
+    np.testing.assert_allclose(gated[:, D * K :], oracle[:, D * K :],
+                               rtol=3e-6, atol=2e-4)  # avg pairs always exact
+
+    # a bound exactly at one stream's avg sim keeps the tile computing
+    bound2 = jnp.asarray([float(avg0.min()), np.inf], jnp.float32)
+    alive = np.asarray(
+        fused_dtw_batch_v3(
+            jnp.asarray(win), jnp.asarray(means), jnp.asarray(templates),
+            jnp.asarray(tnorms), bound2, lens, w, D, K, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(alive[:, 0:K], oracle[:, 0:K], rtol=3e-6, atol=2e-4)
+
+
 def test_sort_network_matches_np_sort():
     """The compare-exchange network used by the percentile reduction must be
     a correct ascending sort for every K ≤ 8 (and fall back above)."""

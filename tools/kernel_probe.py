@@ -57,7 +57,8 @@ def main():
     opts = [a for a in sys.argv[1:] if a.startswith("--")]
     B = int(args[0]) if len(args) > 0 else 8192
     N = int(args[1]) if len(args) > 1 else 20
-    variant = 1 if "--v1" in opts else 2
+    variant = 1 if "--v1" in opts else (2 if "--v2" in opts else 3)
+    gate = "--gate" in opts  # v3: bound that no random stream passes
     jch = 5
     for o in opts:
         if o.startswith("--jch="):
@@ -65,23 +66,33 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from rustpotter_tpu.ops.fused_dtw import fused_dtw_batch
+    from rustpotter_tpu.ops.fused_dtw import fused_dtw_batch, fused_dtw_batch_v3
 
     rng = np.random.default_rng(0)
     Lm, C, w = 100, 16, 5
+    # bench shape: one wakeword, 5 templates + 1 avg pair (D=1, K=5)
     lens = (100, 98, 96, 94, 92, 97)
     P = len(lens)
+    D, K = 1, P - 1
     win = jnp.asarray(rng.normal(0, 1, (B, Lm, C)).astype(np.float32))
     means = jnp.asarray(rng.normal(0, 0.2, (B, P, C)).astype(np.float32))
     templates = jnp.asarray(rng.normal(0, 1, (P, Lm, C)).astype(np.float32))
     tnorms = jnp.sum(templates * templates, axis=-1)
 
-    fn = jax.jit(
-        lambda w_, m_, t_, n_: fused_dtw_batch(
-            w_, m_, t_, n_, lens, w, variant=variant, jch=jch
+    if variant == 3:
+        bounds = jnp.asarray([-1.0 if gate else np.inf], jnp.float32)
+        fn = jax.jit(
+            lambda w_, m_, t_, n_: fused_dtw_batch_v3(
+                w_, m_, t_, n_, bounds, lens, w, D, K, jch=jch
+            )
         )
-    )
-    print(f"variant={variant} jch={jch} B={B}")
+    else:
+        fn = jax.jit(
+            lambda w_, m_, t_, n_: fused_dtw_batch(
+                w_, m_, t_, n_, lens, w, variant=variant, jch=jch
+            )
+        )
+    print(f"variant={variant} jch={jch} B={B} gate={gate}")
     for name, us in trace_kernel_us(fn, (win, means, templates, tnorms), N).items():
         print(f"{us:10.1f} us/call  {name[:90]}")
 

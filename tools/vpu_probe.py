@@ -57,6 +57,8 @@ def k_fma_dep(reps, streams, x_ref, o_ref):
 
 
 def k_dynload(reps, streams, x_ref, o_ref):
+    """rem-based index math per load (the original probe; kept to show how
+    much the index computation itself costs vs k_dynload_cheap)."""
     acc = x_ref[0] * np.float32(0.0)
 
     def body(r, acc):
@@ -69,38 +71,73 @@ def k_dynload(reps, streams, x_ref, o_ref):
     o_ref[0] = acc
 
 
-def k_sload(reps, streams, s_ref, x_ref, o_ref):
+def k_dynload_cheap(reps, streams, x_ref, o_ref):
+    """dynamic-major-index tile loads with one cheap AND per index — the
+    fused kernel's W-load pattern (dynamic index, static nearby offsets)."""
     acc = x_ref[0] * np.float32(0.0)
-    wt = x_ref[1]
 
     def body(r, acc):
+        base = jax.lax.bitwise_and(r, np.int32(31))
         for i in range(streams):
-            idx = jax.lax.rem(r * streams + i, np.int32(s_ref.shape[1]))
-            acc = acc + s_ref[0, idx] * wt
+            acc = acc + np.float32(0.5) * x_ref[base + i]
         return acc
 
     acc = jax.lax.fori_loop(0, reps, body, acc)
     o_ref[0] = acc
 
 
-def run(name, kern, n_in=64, smem=False):
+def k_sload(reps, streams, s_ref, x_ref, o_ref):
+    """(1x1) element load from a (rows, 16)-shaped VMEM ref at dynamic row /
+    static lane, times a tile — the fused kernel's template-scalar pattern
+    (templates_ref[k, r-1, c] * wtile)."""
+    acc = x_ref[0] * np.float32(0.0)
+    wt = x_ref[1]
+
+    def body(r, acc):
+        row = jax.lax.bitwise_and(r, np.int32(31))
+        for i in range(streams):
+            acc = acc + s_ref[row, i % 16] * wt
+        return acc
+
+    acc = jax.lax.fori_loop(0, reps, body, acc)
+    o_ref[0] = acc
+
+
+def k_smemload(reps, streams, s_ref, x_ref, o_ref):
+    """scalar load from SMEM at dynamic row / static col, times a tile —
+    the v3 kernel's template pattern (scalar unit load + broadcast FMA)."""
+    acc = x_ref[0] * np.float32(0.0)
+    wt = x_ref[1]
+
+    def body(r, acc):
+        row = jax.lax.bitwise_and(r, np.int32(31))
+        for i in range(streams):
+            acc = acc + s_ref[row, i % 16] * wt
+        return acc
+
+    acc = jax.lax.fori_loop(0, reps, body, acc)
+    o_ref[0] = acc
+
+
+def run(name, kern, n_in=64, smem=False, streams=STREAMS):
     x = jnp.asarray(np.random.default_rng(0).normal(0, 1, (n_in, 8, 128)).astype(np.float32))
-    s = jnp.asarray(np.arange(512, dtype=np.float32).reshape(1, 512))
+    s = jnp.asarray(np.arange(32 * 16, dtype=np.float32).reshape(32, 16))
     in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
     args = (x,)
     if smem:
-        in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] + in_specs
+        space = pltpu.SMEM if smem == "smem" else pltpu.VMEM
+        in_specs = [pl.BlockSpec(memory_space=space)] + in_specs
         args = (s, x)
     fn = jax.jit(
         lambda *a: pl.pallas_call(
-            partial(kern, REPS, STREAMS),
+            partial(kern, REPS, streams),
             out_shape=jax.ShapeDtypeStruct((1, 8, 128), jnp.float32),
             in_specs=in_specs,
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         )(*a)
     )
     res = trace_kernel_us(fn, args, 30)
-    ops = REPS * STREAMS
+    ops = REPS * streams
     for nm, us in res.items():
         if "copy" in nm or "profiler" in nm or "block" in nm or "Pjit" in nm or "api" in nm:
             continue
@@ -110,6 +147,9 @@ def run(name, kern, n_in=64, smem=False):
 
 if __name__ == "__main__":
     run("fma", k_fma)
+    run("fma32", k_fma, streams=32)  # longer body: loop-overhead-free peak
     run("fma_dep", k_fma_dep)
     run("dynload", k_dynload)
+    run("dynload_ch", k_dynload_cheap)
     run("sload", k_sload, smem=True)
+    run("smemload", k_smemload, smem="smem")
