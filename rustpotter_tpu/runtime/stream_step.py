@@ -111,7 +111,6 @@ def _dtw_scores(static: StepStatic, params: StepParams, win: jnp.ndarray):
     """
     D, K, L = static.n_dtw, static.kmax, static.lmax
     w = static.band_size
-    cums = jnp.cumsum(win, axis=0)  # (F, C)
 
     # per-template normalized windows: (D, K, L, C)
     # templates and averaged templates share one padded DP batch so the DTW
@@ -119,12 +118,21 @@ def _dtw_scores(static: StepStatic, params: StepParams, win: jnp.ndarray):
     La = static.la_max
     Lm = max(L, La)
     C = static.mfcc_size
+    F = win.shape[0]
     t_lens = params.dtw_lens  # (D, K)
-    means = cums[t_lens - 1] / t_lens[..., None].astype(jnp.float32)  # (D, K, C)
-    normwin = win[None, :Lm, :] - means.reshape(D * K, 1, C)  # (D*K, Lm, C)
     a_lens = params.dtw_avg_len  # (D,)
-    a_means = cums[a_lens - 1] / a_lens[:, None].astype(jnp.float32)  # (D, C)
-    a_normwin = win[None, :Lm, :] - a_means[:, None, :]  # (D, Lm, C)
+    # truncated-window CMN means as a masked MXU matmul (one (P,F)@(F,C)
+    # einsum under vmap) — a cumsum over the window axis costs multiple
+    # full-window HBM passes per shift at serving batch sizes
+    idx = jnp.arange(F, dtype=jnp.int32)
+    tmask = (idx[None, None, :] < t_lens[..., None]).astype(jnp.float32)
+    means = jnp.einsum(
+        "dkf,fc->dkc", tmask, win, precision=jax.lax.Precision.HIGHEST
+    ) / t_lens[..., None].astype(jnp.float32)  # (D, K, C)
+    amask = (idx[None, :] < a_lens[:, None]).astype(jnp.float32)
+    a_means = jnp.einsum(
+        "df,fc->dc", amask, win, precision=jax.lax.Precision.HIGHEST
+    ) / a_lens[:, None].astype(jnp.float32)  # (D, C)
 
     def pad_rows(x, rows):
         return jnp.pad(x, ((0, 0), (0, rows - x.shape[1]), (0, 0))) if x.shape[1] < rows else x
@@ -132,7 +140,6 @@ def _dtw_scores(static: StepStatic, params: StepParams, win: jnp.ndarray):
     seq_a = jnp.concatenate(
         [pad_rows(params.dtw_templates.reshape(D * K, L, C), Lm), pad_rows(params.dtw_avg, Lm)]
     )
-    seq_b = jnp.concatenate([normwin, a_normwin])
     lens_all = jnp.concatenate([t_lens.reshape(-1), a_lens])
     from ..ops.dtw_dispatch import use_pallas
     fused = static.dtw_fused if static.dtw_fused is not None else use_pallas()
@@ -170,6 +177,9 @@ def _dtw_scores(static: StepStatic, params: StepParams, win: jnp.ndarray):
             scorer = make_fused_scorer(static.dtw_pair_lens, w)
             sims_all = scorer(win[:Lm], means_all, seq_a, tnorms)
     else:
+        normwin = win[None, :Lm, :] - means.reshape(D * K, 1, C)  # (D*K, Lm, C)
+        a_normwin = win[None, :Lm, :] - a_means[:, None, :]  # (D, Lm, C)
+        seq_b = jnp.concatenate([normwin, a_normwin])
         costs = band_costs(seq_a, seq_b, w)  # (D*K + D, Lm, 2w)
         sims_all = get_banded_dtw(w)(costs, lens_all)
     sims = sims_all[: D * K].reshape(D, K)

@@ -9,6 +9,7 @@ STATUS.md item 5 so per-path regressions are visible:
   nn_medium    Medium classifier-NN wakeword (train_size 168, mfcc 16)
   dtw_10k      10 240 streams single chip (BASELINE.json config[3] scale)
   mixed        one DTW + one NN wakeword scored per stream per shift
+  dtw_nogate   dtw_max with avg_threshold 0: gate disabled, full compute
 
 Usage: python tools/bench_suite.py [scenario ...]   (default: all)
 Metric per scenario: real-time 16 kHz streams sustainable per chip;
@@ -65,7 +66,7 @@ def _nn_wakeword():
     )
 
 
-def _run(name, wakewords, score_mode, B, T):
+def _run(name, wakewords, score_mode, B, T, avg_threshold=0.2):
     import jax
     import jax.numpy as jnp
 
@@ -75,7 +76,7 @@ def _run(name, wakewords, score_mode, B, T):
     rng = np.random.default_rng(1)  # per-scenario fixed seed for input frames
     cfg = RustpotterConfig()
     cfg.detector.score_mode = score_mode
-    cfg.detector.avg_threshold = 0.2
+    cfg.detector.avg_threshold = avg_threshold
     det = BatchedDetector(wakewords, cfg, batch_size=B)
     frames = jnp.asarray(rng.normal(0, 0.05, (B, 480)).astype(np.float32))
     states = det.init_states()
@@ -126,6 +127,14 @@ def main():
         ),
         "dtw_10k": lambda: _run(
             "dtw_10k", [("w", _dtw_wakeword())], ScoreMode.MAX, 10240, T
+        ),
+        # avg_threshold 0 disables the avg gate: every tile computes every
+        # template pair — the v3 kernel's worst case (the reference's own
+        # cost model has the same split: wakeword_comp.rs:85-94 skips the
+        # per-template loop when the avg gate fails)
+        "dtw_nogate": lambda: _run(
+            "dtw_nogate", [("w", _dtw_wakeword())], ScoreMode.MAX, B, T,
+            avg_threshold=0.0,
         ),
         "mixed": lambda: _run(
             "mixed",
