@@ -249,7 +249,7 @@ def _kernel_v2(Lm, C, w, P, jch, lens_ref, means_ref, templates_ref,
         out_ref[0, k] = result
 
 
-def _kernel_v3(Lm, C, w, D, K, jch, lens_ref, means_ref, win_ref, tsm_ref,
+def _kernel_v3(Lm, F, C, w, D, K, jch, lens_ref, means_ref, win_ref, tsm_ref,
                dotm_ref, gate_ref, out_ref, *scratch):
     """Gated three-improvement variant of `_kernel_v2` (v5e probe numbers in
     tools/vpu_probe.py motivate each):
@@ -271,12 +271,23 @@ def _kernel_v3(Lm, C, w, D, K, jch, lens_ref, means_ref, win_ref, tsm_ref,
     Pair layout (matches _dtw_scores): p = d*K + k for templates, D*K + d for
     the avg pair of wakeword d. Scratch: P rwn buffers (Lm, 8, 128) +
     max(K, 1) cost-band buffers (Lm, 2w, 8, 128), reused across wakewords.
+
+    The window buffer is CIRCULAR with F >= Lm rows: lens_ref[P+1] = rot =
+    physical row of the newest frame; logical window column i (0-based,
+    oldest-first) lives at physical (rot + 1 + i) % F. rwn/cost scratch are
+    indexed LOGICALLY — only the win_ref loads translate (one add + one
+    wrap-select on the scalar unit per distinct column index per row).
     """
     W2 = 2 * w
     P = D * K + D
     rwn_s = scratch[:P]
     cost_s = scratch[P:]
     g = pl.program_id(0)
+    rot = lens_ref[P + 1]
+
+    def phys(c_log):
+        ph = rot + 1 + c_log
+        return jnp.where(ph >= F, ph - F, ph)
 
     # lane-validity mask for the gate reduction: padded streams produce
     # finite garbage sims that must not keep a tile alive. lens_ref[P] = B.
@@ -290,7 +301,7 @@ def _kernel_v3(Lm, C, w, D, K, jch, lens_ref, means_ref, win_ref, tsm_ref,
         m = means_ref[p, :, 0]  # (C, 8, 128)
 
         def cbody(c, _):
-            d = win_ref[c, :, 0] - m
+            d = win_ref[phys(c), :, 0] - m
             wn2 = jnp.sum(d * d, axis=0)
             rwn_s[p][c] = jnp.where(wn2 == 0.0, 0.0, jax.lax.rsqrt(wn2))
             return 0
@@ -302,7 +313,8 @@ def _kernel_v3(Lm, C, w, D, K, jch, lens_ref, means_ref, win_ref, tsm_ref,
         np_ = len(pairs)
 
         def cost_row(r, _):
-            wcs = [jnp.clip(r - w + j - 1, 0, Lm - 1) for j in range(W2)]
+            wcl = [jnp.clip(r - w + j - 1, 0, Lm - 1) for j in range(W2)]
+            wcs = [phys(c) for c in wcl]
             for j0 in range(0, W2, jch):
                 jj_n = min(jch, W2 - j0)
                 accs = [[None] * jj_n for _ in range(np_)]
@@ -318,7 +330,7 @@ def _kernel_v3(Lm, C, w, D, K, jch, lens_ref, means_ref, win_ref, tsm_ref,
                     for i, p in enumerate(pairs):
                         cost_s[i][r - 1, j0 + jj] = 1.0 - (
                             (accs[i][jj] - dotm_ref[p, r - 1, 0])
-                            * rwn_s[p][wcs[j0 + jj]]
+                            * rwn_s[p][wcl[j0 + jj]]
                         )
             return 0
 
@@ -392,23 +404,34 @@ def fused_dtw_batch_v3(
     K: int,
     interpret: bool = False,
     jch: int = 5,
+    rot=None,
 ) -> jnp.ndarray:
     """v3 driver. Args as `fused_dtw_batch` plus gate_bounds: (D,) f32
     sim-domain bounds (avg-pair sim <= bound keeps the tile computing that
     wakeword's template pairs; +inf disables gating). Pair layout must be
-    templates (D*K) then avg pairs (D)."""
-    B, Lm, C = win.shape
+    templates (D*K) then avg pairs (D).
+
+    win is (B, F, C) with F >= Lm (= templates.shape[1]); when `rot` is
+    given it is the CIRCULAR buffer cursor (newest frame's physical row);
+    rot=None means the buffer is linear (oldest first), i.e. rot = F-1."""
+    B, F, C = win.shape
+    Lm = templates.shape[1]
     P = means.shape[1]
     assert P == D * K + D, (P, D, K)
+    assert F >= Lm, (F, Lm)
     w = band
+    if rot is None:
+        rot = jnp.asarray(F - 1, jnp.int32)
     templates = templates * jnp.where(
         tnorms == 0.0, 0.0, jax.lax.rsqrt(tnorms)
     )[..., None]
     # dot(T'[r], m) per (stream, pair, row): MXU einsum outside the kernel.
     # f32 at HIGHEST precision — the subtraction (dot - dotm) tolerates the
     # ~1e-7 relative accumulation-order difference (documented tolerance).
+    # Output order (p, l, b): the kernel's stream-minor layout comes straight
+    # out of the dot_general instead of a separate (B,P,Lm) transpose pass.
     dotm = jnp.einsum(
-        "bpc,plc->bpl", means, templates,
+        "plc,bpc->plb", templates, means,
         precision=jax.lax.Precision.HIGHEST,
     )
     TILE = SUBLANES * LANES
@@ -417,14 +440,17 @@ def fused_dtw_batch_v3(
     if Bp != B:
         win = jnp.pad(win, ((0, Bp - B), (0, 0), (0, 0)))
         means = jnp.pad(means, ((0, Bp - B), (0, 0), (0, 0)))
-        dotm = jnp.pad(dotm, ((0, Bp - B), (0, 0), (0, 0)))
-    win_t = jnp.transpose(win, (1, 2, 0)).reshape(Lm, C, n_tiles, SUBLANES, LANES)
+        dotm = jnp.pad(dotm, ((0, 0), (0, 0), (0, Bp - B)))
+    win_t = jnp.transpose(win, (1, 2, 0)).reshape(F, C, n_tiles, SUBLANES, LANES)
     means_t = jnp.transpose(means, (1, 2, 0)).reshape(P, C, n_tiles, SUBLANES, LANES)
-    dotm_t = jnp.transpose(dotm, (1, 2, 0)).reshape(P, Lm, n_tiles, SUBLANES, LANES)
-    # lens with the true B appended (for the kernel's lane-validity mask)
-    lens_arr = jnp.asarray(
-        np.concatenate([np.asarray(lens, np.int32), np.asarray([B], np.int32)])
-    )
+    dotm_t = dotm.reshape(P, Lm, n_tiles, SUBLANES, LANES)
+    # lens with the true B and the circular cursor appended (kernel reads
+    # lens_ref[P] = B for the lane mask, lens_ref[P+1] = rot)
+    lens_arr = jnp.concatenate([
+        jnp.asarray(np.asarray(lens, np.int32)),
+        jnp.asarray([B], jnp.int32),
+        jnp.asarray(rot, jnp.int32).reshape(1),
+    ])
     tsm = templates.reshape(P * Lm, C)
     gate_smem = gate_bounds.astype(jnp.float32)
 
@@ -435,7 +461,7 @@ def fused_dtw_batch_v3(
             memory_space=pltpu.VMEM,
         ),
         pl.BlockSpec(
-            (Lm, C, 1, SUBLANES, LANES),
+            (F, C, 1, SUBLANES, LANES),
             lambda g, lens: (0, 0, g, 0, 0),
             memory_space=pltpu.VMEM,
         ),
@@ -466,7 +492,7 @@ def fused_dtw_batch_v3(
     )
     tile_b = SUBLANES * LANES * 4
     need = (
-        2 * (Lm * C + P * C + P * Lm) * tile_b  # win+means+dotm, dbl-buffered
+        2 * (F * C + P * C + P * Lm) * tile_b  # win+means+dotm, dbl-buffered
         + sum(int(np.prod(s.shape)) * 4 for s in scratch_shapes)
         + 2 * P * tile_b
     )
@@ -476,7 +502,7 @@ def fused_dtw_batch_v3(
     except TypeError:
         compiler_params = pltpu.TPUCompilerParams(vmem_limit_bytes=vmem_limit)
     out = pl.pallas_call(
-        partial(_kernel_v3, Lm, C, w, D, K, jch),
+        partial(_kernel_v3, Lm, F, C, w, D, K, jch),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles, P, SUBLANES, LANES), jnp.float32),
         compiler_params=compiler_params,
@@ -587,34 +613,39 @@ def fused_dtw_batch(
 
 
 @lru_cache(maxsize=16)
-def make_fused_scorer_v3(lens: tuple, band: int, D: int, K: int):
+def make_fused_scorer_v3(lens: tuple, band: int, D: int, K: int, Lm: int):
     """custom_vmap wrapper for the gated v3 kernel. The unbatched fallback
     computes every pair unconditionally (gate ignored); the batched kernel
     writes +inf template sims for tiles where no stream passes a wakeword's
     avg-gate bound. The two are detection-equivalent — gated-out streams'
     template scores are never consumed downstream (the masked prune in
     stream_step._dtw_scores), mirroring the reference's early abort
-    (wakeword_comp.rs:85-94) where aborted windows produce no scores at all."""
+    (wakeword_comp.rs:85-94) where aborted windows produce no scores at all.
 
-    def _single(win, means, templates, tnorms, gate_bounds):
+    win is the circular (F, C) buffer with cursor `rot` (unbatched)."""
+
+    def _single(win, means, templates, tnorms, gate_bounds, rot):
         from .dtw import band_costs, banded_dtw_batch
 
-        normwin = win[None] - means[:, None, :]  # (P, Lm, C)
+        win_lin = jnp.roll(win, -(rot + 1), axis=0)[:Lm]
+        normwin = win_lin[None] - means[:, None, :]  # (P, Lm, C)
         costs = band_costs(templates, normwin, band)
         return banded_dtw_batch(costs, jnp.asarray(lens, jnp.int32), band)
 
     @jax.custom_batching.custom_vmap
-    def scorer(win, means, templates, tnorms, gate_bounds):
-        return _single(win, means, templates, tnorms, gate_bounds)
+    def scorer(win, means, templates, tnorms, gate_bounds, rot):
+        return _single(win, means, templates, tnorms, gate_bounds, rot)
 
     @scorer.def_vmap
-    def _rule(axis_size, in_batched, win, means, templates, tnorms, gate_bounds):
-        wb, mb, tb, nb, gb = in_batched
-        if not wb or not mb or tb or nb or gb:
+    def _rule(axis_size, in_batched, win, means, templates, tnorms,
+              gate_bounds, rot):
+        wb, mb, tb, nb, gb, rb = in_batched
+        if not wb or not mb or tb or nb or gb or rb:
             raise NotImplementedError("unexpected batching pattern")
         return (
             fused_dtw_batch_v3(
-                win, means, templates, tnorms, gate_bounds, lens, band, D, K
+                win, means, templates, tnorms, gate_bounds, lens, band, D, K,
+                rot=rot,
             ),
             True,
         )

@@ -32,7 +32,7 @@ import numpy as np
 
 from ..config import DetectorConfig, FiltersConfig, RustpotterConfig
 from .bundle import StepStatic, Wakeword, build_bundle
-from .state import Event, StreamState, init_state
+from .state import Event, StreamState, init_state, state_batch_axes
 from .stream_step import make_step
 
 
@@ -95,8 +95,12 @@ def migrate_states(
     new_ww = jnp.asarray(remap)[states.partial_ww]
     drop = states.partial_active & (new_ww < 0)
     keep = ~drop
+    # linearize the circular window (newest to the END) before resizing;
+    # the migrated state restarts with a fresh cursor
+    win_lin = jnp.roll(states.win, -(states.rot + 1), axis=-2)
     return states._replace(
-        win=_keep_newest(states.win, -2, new.max_mfcc_frames),
+        win=_keep_newest(win_lin, -2, new.max_mfcc_frames),
+        rot=jnp.asarray(new.max_mfcc_frames - 1, jnp.int32),
         win_count=jnp.minimum(states.win_count, new.max_mfcc_frames),
         gain_win=_keep_newest(states.gain_win, -1, new.gain_window_size),
         gain_count=jnp.minimum(states.gain_count, new.gain_window_size),
@@ -144,7 +148,11 @@ class BatchedDetector:
             params = jax.device_put(params)
         self.static, self.params = static, params
         step = make_step(self.static)
-        vstep = jax.vmap(step, in_axes=(None, 0, 0))
+        # state axes: per-stream leaves on axis 0, the global circular
+        # cursor (rot) unbatched — see state.state_batch_axes
+        st_axes = state_batch_axes()
+        vstep = jax.vmap(step, in_axes=(None, st_axes, 0),
+                         out_axes=(st_axes, 0))
 
         def chunk_fn(params, states, frames):
             """frames: (B, 480) — advance every stream by one 30 ms frame."""
@@ -168,8 +176,11 @@ class BatchedDetector:
             from ..parallel.mesh import STREAMS_AXIS
 
             mesh = self._sharding.mesh
+            # per-stream leaves shard over streams; the global rot cursor
+            # (rank-0) is replicated
             st_spec = jax.tree_util.tree_map(
-                lambda _: P(STREAMS_AXIS), init_state(self.static, (self.batch_size,))
+                lambda x: P(STREAMS_AXIS) if x.ndim else P(),
+                init_state(self.static, (self.batch_size,)),
             )
             pr_spec = jax.tree_util.tree_map(lambda _: P(), self.params)
             self.process_chunk = jax.jit(
@@ -199,7 +210,12 @@ class BatchedDetector:
         if self._sharding is not None:
             states = jax.device_put(
                 states,
-                jax.tree_util.tree_map(lambda _: self._sharding.state, states),
+                jax.tree_util.tree_map(
+                    lambda x: (
+                        self._sharding.state if x.ndim else self._sharding.replicated
+                    ),
+                    states,
+                ),
             )
         return states
 
@@ -309,6 +325,8 @@ class BatchedDetector:
 
 def _reset_streams(states: StreamState, mask: jnp.ndarray, fresh: StreamState) -> StreamState:
     def sel(a, b):
+        if a.ndim < mask.ndim:  # global leaves (rot cursor) are never reset
+            return a
         m = mask.reshape(mask.shape + (1,) * (a.ndim - mask.ndim))
         return jnp.where(m, b, a)
 

@@ -22,7 +22,7 @@ VAD_VOICE_FRAMES = 500
 class StreamState(NamedTuple):
     ext_buf: jnp.ndarray  # (480,) pre-emphasized sample buffer
     ext_count: jnp.ndarray  # i32: 0..480 (warm-up fill level)
-    win: jnp.ndarray  # (F, C) live MFCC window
+    win: jnp.ndarray  # (F, C) live MFCC window — CIRCULAR: see `rot`
     win_count: jnp.ndarray  # i32
     vad_win: jnp.ndarray  # (50,) energy shift-register (NaN = unfilled)
     vad_countdown: jnp.ndarray  # i32
@@ -40,6 +40,15 @@ class StreamState(NamedTuple):
     partial_gain: jnp.ndarray  # f32
     partial_scores: jnp.ndarray  # (Smax,)
     countdown: jnp.ndarray  # i32
+    # GLOBAL circular-window write cursor — shape () even in a batched state
+    # (every stream advances in lockstep; per-stream writes are masked, and
+    # scoring is masked until win_count == F, so stale slots are never read).
+    # rot = physical index of the NEWEST frame; logical frame i (0 = oldest)
+    # lives at physical (rot + 1 + i) % F. Keeping it unbatched is what lets
+    # the window update be a dynamic_update_slice at a shared index instead
+    # of a per-stream scatter (which serializes on TPU), and lets the whole
+    # (F, C) roll copy disappear from the hot step.
+    rot: jnp.ndarray
 
 
 class Event(NamedTuple):
@@ -81,4 +90,13 @@ def init_state(static: StepStatic, batch_shape: tuple = ()) -> StreamState:
         partial_gain=z((), np.float32, np.nan),
         partial_scores=z((S,)),
         countdown=z((), jnp.int32),
+        rot=jnp.asarray(F - 1, jnp.int32),  # global scalar, NOT batched
     )
+
+
+def state_batch_axes() -> StreamState:
+    """vmap in/out_axes pytree for a batched StreamState: every per-stream
+    leaf on axis 0, the global `rot` cursor unbatched."""
+    return StreamState(**{
+        f: (None if f == "rot" else 0) for f in StreamState._fields
+    })

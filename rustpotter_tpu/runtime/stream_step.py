@@ -101,10 +101,13 @@ def _reduce_mode(scores: jnp.ndarray, kvalid: jnp.ndarray, mode: ScoreMode) -> j
     return jnp.where(ifloor == index, lo, lo * (1.0 - d) + hi * d)
 
 
-def _dtw_scores(static: StepStatic, params: StepParams, win: jnp.ndarray):
+def _dtw_scores(static: StepStatic, params: StepParams, win: jnp.ndarray,
+                rot: jnp.ndarray):
     """Score the live window against every DTW wakeword.
 
-    Returns (detected, score, avg_score, scores_mat) over the D axis.
+    win is the CIRCULAR (F, C) window; rot = physical index of the newest
+    frame (logical frame i lives at (rot + 1 + i) % F — state.py). Returns
+    (detected, score, avg_score, scores_mat) over the D axis.
     Parity: wakeword_comp.rs:77-152 — per-template window truncation + CMN,
     banded DTW, avg-template gate as a mask (the TPU 'masked prune'), score
     mode reduction, strict `score > threshold`.
@@ -123,13 +126,15 @@ def _dtw_scores(static: StepStatic, params: StepParams, win: jnp.ndarray):
     a_lens = params.dtw_avg_len  # (D,)
     # truncated-window CMN means as a masked MXU matmul (one (P,F)@(F,C)
     # einsum under vmap) — a cumsum over the window axis costs multiple
-    # full-window HBM passes per shift at serving batch sizes
+    # full-window HBM passes per shift at serving batch sizes. The mask picks
+    # the logical first t frames out of the circular buffer.
     idx = jnp.arange(F, dtype=jnp.int32)
-    tmask = (idx[None, None, :] < t_lens[..., None]).astype(jnp.float32)
+    lidx = jnp.mod(idx - rot - 1, F)  # physical slot -> logical frame index
+    tmask = (lidx[None, None, :] < t_lens[..., None]).astype(jnp.float32)
     means = jnp.einsum(
         "dkf,fc->dkc", tmask, win, precision=jax.lax.Precision.HIGHEST
     ) / t_lens[..., None].astype(jnp.float32)  # (D, K, C)
-    amask = (idx[None, :] < a_lens[:, None]).astype(jnp.float32)
+    amask = (lidx[None, :] < a_lens[:, None]).astype(jnp.float32)
     a_means = jnp.einsum(
         "df,fc->dc", amask, win, precision=jax.lax.Precision.HIGHEST
     ) / a_lens[:, None].astype(jnp.float32)  # (D, C)
@@ -169,16 +174,20 @@ def _dtw_scores(static: StepStatic, params: StepParams, win: jnp.ndarray):
                 * (1.0 + jnp.log(1.0 / tcl - 1.0))
             )
             gate_bounds = jnp.where(gon, bnd + jnp.abs(bnd) * 1e-4 + 1e-4, INF)
-            scorer = make_fused_scorer_v3(static.dtw_pair_lens, w, D, K)
-            sims_all = scorer(win[:Lm], means_all, seq_a, tnorms, gate_bounds)
+            scorer = make_fused_scorer_v3(static.dtw_pair_lens, w, D, K, Lm)
+            # the v3 kernel reads the circular buffer directly (rot maps
+            # logical DP columns to physical rows in-kernel) — no roll copy
+            sims_all = scorer(win, means_all, seq_a, tnorms, gate_bounds, rot)
         else:
             from ..ops.fused_dtw import make_fused_scorer
 
+            win_lin = jnp.roll(win, -(rot + 1), axis=0)
             scorer = make_fused_scorer(static.dtw_pair_lens, w)
-            sims_all = scorer(win[:Lm], means_all, seq_a, tnorms)
+            sims_all = scorer(win_lin[:Lm], means_all, seq_a, tnorms)
     else:
-        normwin = win[None, :Lm, :] - means.reshape(D * K, 1, C)  # (D*K, Lm, C)
-        a_normwin = win[None, :Lm, :] - a_means[:, None, :]  # (D, Lm, C)
+        win_lin = jnp.roll(win, -(rot + 1), axis=0)
+        normwin = win_lin[None, :Lm, :] - means.reshape(D * K, 1, C)  # (D*K, Lm, C)
+        a_normwin = win_lin[None, :Lm, :] - a_means[:, None, :]  # (D, Lm, C)
         seq_b = jnp.concatenate([normwin, a_normwin])
         costs = band_costs(seq_a, seq_b, w)  # (D*K + D, Lm, 2w)
         sims_all = get_banded_dtw(w)(costs, lens_all)
@@ -204,13 +213,33 @@ def _dtw_scores(static: StepStatic, params: StepParams, win: jnp.ndarray):
     return detected, score, avg_score, scores_mat
 
 
-def _nn_scores_one(static: StepStatic, params: StepParams, win: jnp.ndarray, j: int):
-    """Score one NN wakeword. Parity: wakeword_nn.rs:139-163,47-124."""
+def _nn_scores_one(static: StepStatic, params: StepParams, win: jnp.ndarray,
+                   rot: jnp.ndarray, j: int):
+    """Score one NN wakeword. Parity: wakeword_nn.rs:139-163,47-124.
+
+    The window is circular; instead of materializing the logical-order
+    (ts, C) slice per stream (a full-window copy per shift), the FIRST
+    layer's weights are rotated into physical frame order once per shift
+    (tiny: the weight matrix is shared across streams) and padded with zero
+    rows beyond train_size, so stale physical slots contribute nothing:
+      sum_i x_log[i]·W[i] = sum_f x_phys[f]·W[(f - rot - 1) mod F].
+    CMN is order-free, so its mean uses a rotated mask."""
     meta = static.nn_meta[j]
     ts = meta.train_size
-    x = win[:ts]
-    x = x - jnp.mean(x, axis=0, keepdims=True)  # CMN over the truncated window
-    logits = nn_mod.forward(params.nn_params[j], x.reshape(-1))  # (labels,)
+    C = static.mfcc_size
+    F = win.shape[0]
+    idx = jnp.arange(F, dtype=jnp.int32)
+    lmask = (jnp.mod(idx - rot - 1, F) < ts).astype(jnp.float32)
+    mean = (lmask @ win) / jnp.float32(ts)  # (C,) over the logical first ts
+    x = win - mean[None, :]
+    w1, b1 = params.nn_params[j][0]  # (h1, ts*C)
+    h1 = w1.shape[0]
+    w1p = jnp.pad(w1.reshape(h1, ts, C), ((0, 0), (0, F - ts), (0, 0)))
+    w1r = jnp.roll(w1p, rot + 1, axis=1).reshape(h1, F * C)
+    hid = jnp.matmul(
+        w1r, x.reshape(-1), precision=nn_mod._PRECISION
+    ) + b1
+    logits = nn_mod.forward_tail(params.nn_params[j], hid)  # (labels,)
     n_labels = len(meta.labels)
     # Rust max_by returns the LAST maximal element on ties
     label_idx = n_labels - 1 - jnp.argmax(logits[::-1])
@@ -236,18 +265,19 @@ def _nn_scores_one(static: StepStatic, params: StepParams, win: jnp.ndarray, j: 
     return detected, score, avg_score, scores_vec
 
 
-def run_wakeword_detectors(static: StepStatic, params: StepParams, win: jnp.ndarray):
+def run_wakeword_detectors(static: StepStatic, params: StepParams,
+                           win: jnp.ndarray, rot: jnp.ndarray):
     """All wakewords → best candidate (argmax score among detected).
     Parity: detector.rs:433-447."""
     det_list, score_list, avg_list, scores_list = [], [], [], []
     if static.n_dtw:
-        d, s, a, m = _dtw_scores(static, params, win)
+        d, s, a, m = _dtw_scores(static, params, win, rot)
         det_list.append(d)
         score_list.append(s)
         avg_list.append(a)
         scores_list.append(m)
     for j in range(len(static.nn_meta)):
-        d, s, a, v = _nn_scores_one(static, params, win, j)
+        d, s, a, v = _nn_scores_one(static, params, win, rot, j)
         det_list.append(jnp.reshape(d, (1,)))
         score_list.append(jnp.reshape(s, (1,)))
         avg_list.append(jnp.reshape(a, (1,)))
@@ -326,7 +356,7 @@ def make_step(static: StepStatic):
         # detectors do NOT run this frame
         run_detectors = run & ~emit
         any_det, best, score, avg, scores_vec = run_wakeword_detectors(
-            static, params, state.win
+            static, params, state.win, state.rot
         )
         cand = run_detectors & any_det
         counter = jnp.where(partial_active, state.partial_counter + 1, 1)
@@ -353,9 +383,11 @@ def make_step(static: StepStatic):
         )
         return state, event
 
-    def process_shift(params: StepParams, carry, shift):
+    def process_shift(params: StepParams, carry, shift_and_slot):
         """One 160-sample pre-emphasized shift (extractor.rs:69-79 +
-        detector.rs:374-397). carry = (state, halted, event)."""
+        detector.rs:374-397). carry = (state, halted, event);
+        shift_and_slot = (160 samples, global circular write slot)."""
+        shift, slot = shift_and_slot
         state, halted, event0 = carry
         active = ~halted
         # --- extractor sliding buffer. Always-roll shift register: during
@@ -381,16 +413,21 @@ def make_step(static: StepStatic):
             should_run = state.partial_active | voice
         else:
             should_run = jnp.bool_(True)
-        # push frame — always-roll shift register. The reference pushes then
-        # drains the oldest once the window is full (detector.rs:384-395);
-        # rolling keeps exactly the last F frames, which is the identical
-        # window whenever detection can run (count == F).
-        placed = jnp.concatenate([state.win[1:], mfcc[None, :]])
+        # push frame — circular write at the GLOBAL slot (cursor advances
+        # every shift; the write is masked per stream). The reference pushes
+        # then drains the oldest once the window is full (detector.rs:384-395);
+        # the circular buffer holds exactly the last F pushed frames, which is
+        # the identical window whenever detection can run (count == F), and
+        # replaces the (F, C) roll copy per shift with a single-row write.
+        old_row = jax.lax.dynamic_slice(state.win, (slot, 0), (1, state.win.shape[1]))
+        new_row = jnp.where(emit_frame, mfcc[None, :], old_row)
         win_count = jnp.where(
             emit_frame, jnp.minimum(state.win_count + 1, F), state.win_count
         )
         state = state._replace(
-            win=jnp.where(emit_frame, placed, state.win), win_count=win_count
+            win=jax.lax.dynamic_update_slice(state.win, new_row, (slot, 0)),
+            win_count=win_count,
+            rot=slot,
         )
         win_full = state.win_count >= F
         state, event = run_detection(params, state, emit_frame & win_full & should_run)
@@ -468,12 +505,19 @@ def make_step(static: StepStatic):
             scores=jnp.zeros((static.smax,), jnp.float32),
         )
         carry = (state, jnp.bool_(False), no_event)
+        # global circular write slots for the 3 shifts (cursor advances every
+        # shift; per-stream writes are masked — state.py `rot`)
+        slots = jnp.mod(
+            state.rot + 1 + jnp.arange(3, dtype=jnp.int32), jnp.int32(F)
+        )
         # lax.scan (not a static unroll): the body instantiates the scoring
         # chain — incl. the fused Pallas kernel — exactly ONCE in the program
         # instead of 3x, which cuts the cold Mosaic/XLA compile of the full
         # step ~3x (VERDICT r1 weak#5) and shrinks the program body
         carry, _ = jax.lax.scan(
-            lambda c, s: (process_shift(params, c, s)[0], None), carry, shifts
+            lambda c, s: (process_shift(params, c, s)[0], None),
+            carry,
+            (shifts, slots),
         )
         state, _, event = carry
         return state, event

@@ -29,11 +29,17 @@ def trace(log_dir: str):
 
 @dataclass
 class ChipSpec:
-    """Peak numbers for roofline bounds."""
+    """Peak numbers for roofline bounds.
+
+    vpu_f32_tflops is MEASURED, not nameplate: tools/vpu_probe.py sustains
+    ~1511 (8,128)-tile scalar*tile FMAs/us on this v5e through the tunnel
+    (= 1511e6 * 1024 lanes * 2 flops ~= 3.09 TFLOP/s). Rooflines computed
+    against a larger assumed VPU rate are fiction — r2's '~0.4 ms kernel
+    speed-of-light' collapsed to ~0.85 ms once the issue rate was measured."""
 
     name: str = "v5e"
     mxu_f32_tflops: float = 49.0  # bf16x6 ("highest") effective f32
-    vpu_f32_tflops: float = 3.9
+    vpu_f32_tflops: float = 3.09  # measured (tools/vpu_probe.py fma32)
     hbm_gbps: float = 819.0
 
 
@@ -52,7 +58,10 @@ class StepCost:
 
 
 def step_roofline(static: StepStatic) -> StepCost:
-    """Per-stream cost of one 30 ms step (3 MFCC shifts + 3 detections)."""
+    """Per-stream cost of one 30 ms step (3 MFCC shifts + 3 detections),
+    modeling the FUSED serving path (circular window + v3 kernel): the cost
+    band and rwn live in VMEM (no HBM charge), CMN means and dot(T',m) are
+    MXU einsums, and the window is written one row per shift (no roll)."""
     C = static.mfcc_size
     nc = C + 1
     F = static.max_mfcc_frames
@@ -63,21 +72,24 @@ def step_roofline(static: StepStatic) -> StepCost:
 
     # MFCC: windowed DFT (480x240 x2) + mel (240 x nc) + DCT (nc x nc)
     mxu = shifts * 2 * (480 * 240 * 2 + 240 * nc + nc * nc)
-    # band costs: pairs x L x 2w dot products over C (+norms)
-    vpu = shifts * pairs * L * 2 * w * (2 * C + 6)
+    # CMN means (pairs x F over C) + dotm (pairs x L over C) einsums
+    mxu += shifts * 2 * (pairs * F * C + pairs * L * C)
+    # band costs: pairs x L x 2w dot products over C (+ epilogue)
+    vpu = shifts * pairs * L * 2 * w * (2 * C + 4)
+    # rwn pre-pass: pairs x L columns x ~3C ops
+    vpu += shifts * pairs * L * 3 * C
     # DP: pairs x L rows x 2w lanes x ~6 ops
     vpu += shifts * pairs * L * 2 * w * 6
     # NN wakewords
     for meta in static.nn_meta:
-        from ..wakewords.nn import layer_sizes  # local import to avoid cycle
-
         sizes = layer_sizes_from_meta(meta, C)
         mxu += shifts * 2 * sum(a * b for a, b in zip(sizes[:-1], sizes[1:]))
-    # HBM: window r/w (F x C), per-pair normalized windows + cost band traffic
+    # HBM: window read by the kernel + one-row write + dotm spill/reload;
+    # cost band + rwn stay in VMEM scratch
     hbm = shifts * 4 * (
-        2 * F * C  # window roll
-        + pairs * L * C  # normalized window materialization
-        + pairs * L * 2 * w * 2  # cost band write+read
+        F * C  # window read (once per shift, VMEM-blocked)
+        + C  # circular one-row write
+        + 2 * pairs * L  # dotm write + kernel read
     )
     return StepCost(mxu_flops=float(mxu), vpu_flops=float(vpu), hbm_bytes=float(hbm))
 

@@ -18,7 +18,12 @@ import numpy as np
 from ..constants import MFCCS_EXTRACTOR_OUT_SHIFTS
 from .files import ModelType, TensorData
 
-_PRECISION = jax.lax.Precision.HIGHEST
+# HIGH = 3-pass bf16 on the MXU (~1e-7 relative dot error) — comfortably
+# inside the NN path's measured tolerance band (docs/NN_EXACTNESS.md: the
+# waveform-noise floor alone moves ok_casa logits by +-8; the suite pins
+# counters +-1 / logits +-3). HIGHEST (6-pass) measured 2x the forward cost
+# at serving batch (tools/step_breakdown.py) for accuracy the band can't see.
+_PRECISION = jax.lax.Precision.HIGH
 
 
 def layer_sizes(m_type: ModelType, input_size: int, mfcc_size: int, labels_size: int) -> List[int]:
@@ -92,4 +97,14 @@ def forward(params, x: jnp.ndarray) -> jnp.ndarray:
         x = jnp.matmul(x, jnp.transpose(w), precision=_PRECISION) + b
         if i < n - 1:
             x = jax.nn.relu(x)
+    return x
+
+
+def forward_tail(params, x: jnp.ndarray) -> jnp.ndarray:
+    """Layers after the first, given the first layer's PRE-activation output
+    (the runtime computes layer 0 itself with rotation-folded weights —
+    stream_step._nn_scores_one). Same ReLU placement as `forward`."""
+    for w, b in params[1:]:
+        x = jax.nn.relu(x)
+        x = jnp.matmul(x, jnp.transpose(w), precision=_PRECISION) + b
     return x

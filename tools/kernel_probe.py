@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def trace_kernel_us(fn, args, n, label_contains=None):
+def trace_kernel_us(fn, args, n, label_contains=None, top=10):
     """Run fn n times under a profiler trace; return {name: us_per_call}.
 
     label_contains: optional tuple of substrings — when given, only complete
@@ -49,7 +49,7 @@ def trace_kernel_us(fn, args, n, label_contains=None):
             if label_contains and not any(s in name for s in label_contains):
                 continue
             dur[name] += e["dur"]
-    return {name: d / n for name, d in dur.most_common(10)}
+    return {name: d / n for name, d in dur.most_common(top)}
 
 
 def main():

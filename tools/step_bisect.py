@@ -58,7 +58,7 @@ def main():
 
     real_rwd = stream_step.run_wakeword_detectors
 
-    def stub(static, params, win):
+    def stub(static, params, win, rot):
         z = jnp.float32(0.0)
         return (
             jnp.bool_(False) & (win[0, 0] > 0),  # keep a win dependence
@@ -68,8 +68,8 @@ def main():
             jnp.zeros((static.smax,), jnp.float32),
         )
 
-    def dtwraw(static, params, win):
-        d, s, a, m = stream_step._dtw_scores(static, params, win)
+    def dtwraw(static, params, win, rot):
+        d, s, a, m = stream_step._dtw_scores(static, params, win, rot)
         keep = s[0] * 1e-20
         return (
             jnp.bool_(False) & d[0],
@@ -79,10 +79,10 @@ def main():
             jnp.zeros((static.smax,), jnp.float32) + m[0] * 1e-20,
         )
 
-    def dtwall(static, params, win):
+    def dtwall(static, params, win, rot):
         # consume every stream's outputs (nothing DCE-able) but keep the
         # detection decision constant-false so state feedback is inert
-        d, s, a, m = stream_step._dtw_scores(static, params, win)
+        d, s, a, m = stream_step._dtw_scores(static, params, win, rot)
         keep = (jnp.sum(s) + jnp.sum(a) + jnp.sum(m) + jnp.sum(d)) * 1e-20
         return (
             jnp.bool_(False) & d[0],
@@ -92,10 +92,10 @@ def main():
             jnp.zeros((static.smax,), jnp.float32),
         )
 
-    def dtwlive(static, params, win):
+    def dtwlive(static, params, win, rot):
         # real detection decision (state feedback live) but best-candidate
         # payload stubbed
-        d, s, a, m = stream_step._dtw_scores(static, params, win)
+        d, s, a, m = stream_step._dtw_scores(static, params, win, rot)
         masked = jnp.where(d, s, -jnp.inf)
         return (
             jnp.any(d),
