@@ -274,20 +274,32 @@ def _kernel_v3(Lm, F, C, w, D, K, jch, lens_ref, means_ref, win_ref, tsm_ref,
 
     The window buffer is CIRCULAR with F >= Lm rows: lens_ref[P+1] = rot =
     physical row of the newest frame; logical window column i (0-based,
-    oldest-first) lives at physical (rot + 1 + i) % F. rwn/cost scratch are
-    indexed LOGICALLY — only the win_ref loads translate (one add + one
-    wrap-select on the scalar unit per distinct column index per row).
+    oldest-first) lives at physical (rot + 1 + i) % F. The rotation is
+    resolved ONCE per grid cell by linearizing the Lm logical columns into
+    VMEM scratch (lin_s) — indices derived from the runtime `rot` scalar in
+    the HOT loops trip a pathological Pallas lowering path (measured: the
+    same kernel lowers in 2 s with affine indices vs 167 s with
+    rot-dependent ones), and affine loads are faster at runtime too.
     """
     W2 = 2 * w
     P = D * K + D
-    rwn_s = scratch[:P]
-    cost_s = scratch[P:]
+    lin_s = scratch[0]
+    rwn_s = scratch[1:P + 1]
+    cost_s = scratch[P + 1:]
     g = pl.program_id(0)
     rot = lens_ref[P + 1]
 
-    def phys(c_log):
-        ph = rot + 1 + c_log
-        return jnp.where(ph >= F, ph - F, ph)
+    # --- linearize the circular window: lin_s[c_log] = win[(rot+1+c_log)%F].
+    # ONE bulk (C, 8, 128) load per column: per-tile loads at a rot-derived
+    # (non-affine) index each cost ~6 s of Pallas lowering; the bulk load at
+    # the same index lowers in O(1) and DMAs faster too.
+    def lin_body(c, _):
+        ph = rot + 1 + c
+        ph = jnp.where(ph >= F, ph - F, ph)
+        lin_s[c] = win_ref[ph, :, 0]
+        return 0
+
+    jax.lax.fori_loop(0, Lm, lin_body, 0)
 
     # lane-validity mask for the gate reduction: padded streams produce
     # finite garbage sims that must not keep a tile alive. lens_ref[P] = B.
@@ -301,7 +313,7 @@ def _kernel_v3(Lm, F, C, w, D, K, jch, lens_ref, means_ref, win_ref, tsm_ref,
         m = means_ref[p, :, 0]  # (C, 8, 128)
 
         def cbody(c, _):
-            d = win_ref[phys(c), :, 0] - m
+            d = lin_s[c] - m
             wn2 = jnp.sum(d * d, axis=0)
             rwn_s[p][c] = jnp.where(wn2 == 0.0, 0.0, jax.lax.rsqrt(wn2))
             return 0
@@ -314,14 +326,13 @@ def _kernel_v3(Lm, F, C, w, D, K, jch, lens_ref, means_ref, win_ref, tsm_ref,
 
         def cost_row(r, _):
             wcl = [jnp.clip(r - w + j - 1, 0, Lm - 1) for j in range(W2)]
-            wcs = [phys(c) for c in wcl]
             for j0 in range(0, W2, jch):
                 jj_n = min(jch, W2 - j0)
                 accs = [[None] * jj_n for _ in range(np_)]
                 for c in range(C):
                     ts = [tsm_ref[p * Lm + r - 1, c] for p in pairs]
                     for jj in range(jj_n):
-                        wt = win_ref[wcs[j0 + jj], c, 0]
+                        wt = lin_s[wcl[j0 + jj], c]
                         for i in range(np_):
                             prodsum = ts[i] * wt
                             accs[i][jj] = prodsum if accs[i][jj] is None \
@@ -474,6 +485,8 @@ def fused_dtw_batch_v3(
         pl.BlockSpec(memory_space=pltpu.SMEM),
     ]
     scratch_shapes = [
+        pltpu.VMEM((Lm, C, SUBLANES, LANES), jnp.float32)  # linearized window
+    ] + [
         pltpu.VMEM((Lm, SUBLANES, LANES), jnp.float32) for _ in range(P)
     ] + [
         pltpu.VMEM((Lm, 2 * w, SUBLANES, LANES), jnp.float32)
