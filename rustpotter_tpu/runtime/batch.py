@@ -32,8 +32,8 @@ import numpy as np
 
 from ..config import DetectorConfig, FiltersConfig, RustpotterConfig
 from .bundle import StepStatic, Wakeword, build_bundle
-from .state import Event, StreamState, init_state, state_batch_axes
-from .stream_step import make_step
+from .state import Event, StreamState, init_state
+from .stream_step import make_batched_chunk
 
 
 def _keep_newest(arr: jnp.ndarray, axis: int, new_len: int) -> jnp.ndarray:
@@ -147,22 +147,16 @@ class BatchedDetector:
         else:
             params = jax.device_put(params)
         self.static, self.params = static, params
-        step = make_step(self.static)
-        # state axes: per-stream leaves on axis 0, the global circular
-        # cursor (rot) unbatched — see state.state_batch_axes
-        st_axes = state_batch_axes()
-        vstep = jax.vmap(step, in_axes=(None, st_axes, 0),
-                         out_axes=(st_axes, 0))
-
-        def chunk_fn(params, states, frames):
-            """frames: (B, 480) — advance every stream by one 30 ms frame."""
-            return vstep(params, states, frames)
+        # batch-aware chunk step: the window leaf lives stream-minor
+        # (F, C, B) so the fused kernel gets its native layout with no
+        # per-shift transpose (stream_step.make_batched_chunk)
+        chunk_fn = make_batched_chunk(self.static)
 
         def seq_fn(params, states, frames):
             """frames: (T, B, 480) — scan a time range in one XLA call."""
 
             def body(s, f):
-                s, ev = vstep(params, s, f)
+                s, ev = chunk_fn(params, s, f)
                 return s, ev
 
             return jax.lax.scan(body, states, frames)
@@ -176,12 +170,17 @@ class BatchedDetector:
             from ..parallel.mesh import STREAMS_AXIS
 
             mesh = self._sharding.mesh
-            # per-stream leaves shard over streams; the global rot cursor
-            # (rank-0) is replicated
-            st_spec = jax.tree_util.tree_map(
-                lambda x: P(STREAMS_AXIS) if x.ndim else P(),
-                init_state(self.static, (self.batch_size,)),
-            )
+            # per-stream leaves shard over streams (axis 0); the stream-minor
+            # window shards over its LAST axis; the rank-0 rot cursor is
+            # replicated
+            st_spec = StreamState(**{
+                f: (
+                    P() if f == "rot"
+                    else P(None, None, STREAMS_AXIS) if f == "win"
+                    else P(STREAMS_AXIS)
+                )
+                for f in StreamState._fields
+            })
             pr_spec = jax.tree_util.tree_map(lambda _: P(), self.params)
             self.process_chunk = jax.jit(
                 shard_map(
@@ -208,15 +207,21 @@ class BatchedDetector:
 
     def _shard_states(self, states: StreamState) -> StreamState:
         if self._sharding is not None:
-            states = jax.device_put(
-                states,
-                jax.tree_util.tree_map(
-                    lambda x: (
-                        self._sharding.state if x.ndim else self._sharding.replicated
-                    ),
-                    states,
-                ),
-            )
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import STREAMS_AXIS
+
+            mesh = self._sharding.mesh
+            shardings = StreamState(**{
+                f: (
+                    self._sharding.replicated if f == "rot"
+                    else NamedSharding(mesh, P(None, None, STREAMS_AXIS))
+                    if f == "win"
+                    else self._sharding.state
+                )
+                for f in StreamState._fields
+            })
+            states = jax.device_put(states, shardings)
         return states
 
     def _migrate(
@@ -224,6 +229,9 @@ class BatchedDetector:
     ):
         if states is None:
             return None
+        # migrate_states works in stream-major (B, F, C) window layout;
+        # convert from/to the serving stream-minor layout at the boundary
+        states = states._replace(win=jnp.moveaxis(states.win, -1, 0))
         states = migrate_states(
             old_static,
             self.static,
@@ -232,6 +240,7 @@ class BatchedDetector:
             reset_stream=reset_stream,
             reset_filters=reset_filters,
         )
+        states = states._replace(win=jnp.moveaxis(states.win, 0, -1))
         return self._shard_states(states)
 
     # --------------------------------------------------- wakeword management
@@ -316,7 +325,10 @@ class BatchedDetector:
     # ------------------------------------------------------------ lifecycle
 
     def init_states(self) -> StreamState:
-        return self._shard_states(init_state(self.static, (self.batch_size,)))
+        states = init_state(self.static, (self.batch_size,))
+        # serving layout: the window leaf is stream-minor (F, C, B)
+        states = states._replace(win=jnp.moveaxis(states.win, 0, -1))
+        return self._shard_states(states)
 
     def reset_streams(self, states: StreamState, mask: jnp.ndarray) -> StreamState:
         """Clear streams where mask is True (stream admit/retire)."""
@@ -325,7 +337,11 @@ class BatchedDetector:
 
 def _reset_streams(states: StreamState, mask: jnp.ndarray, fresh: StreamState) -> StreamState:
     def sel(a, b):
-        if a.ndim < mask.ndim:  # global leaves (rot cursor) are never reset
+        # global leaves (rot cursor) are never reset, and the stream-minor
+        # window content is left stale on purpose: win_count=0 (reset below
+        # via its own leaf) masks scoring until the window refills, exactly
+        # like the circular-buffer semantics in state.py
+        if a.ndim < mask.ndim or a.shape != b.shape:
             return a
         m = mask.reshape(mask.shape + (1,) * (a.ndim - mask.ndim))
         return jnp.where(m, b, a)

@@ -191,6 +191,16 @@ def _dtw_scores(static: StepStatic, params: StepParams, win: jnp.ndarray,
         seq_b = jnp.concatenate([normwin, a_normwin])
         costs = band_costs(seq_a, seq_b, w)  # (D*K + D, Lm, 2w)
         sims_all = get_banded_dtw(w)(costs, lens_all)
+    return _dtw_post(static, params, sims_all)
+
+
+def _dtw_post(static: StepStatic, params: StepParams, sims_all: jnp.ndarray):
+    """Per-stream scoring from the (P,) pair similarities — shared verbatim
+    by the vmapped per-stream path and the batched serving path (which vmaps
+    this over the kernel's (B, P) output)."""
+    D, K = static.n_dtw, static.kmax
+    t_lens = params.dtw_lens
+    a_lens = params.dtw_avg_len
     sims = sims_all[: D * K].reshape(D, K)
     a_sims = sims_all[D * K :]
     tscores = cost_to_score(
@@ -240,6 +250,13 @@ def _nn_scores_one(static: StepStatic, params: StepParams, win: jnp.ndarray,
         w1r, x.reshape(-1), precision=nn_mod._PRECISION
     ) + b1
     logits = nn_mod.forward_tail(params.nn_params[j], hid)  # (labels,)
+    return _nn_post(static, params, logits, j)
+
+
+def _nn_post(static: StepStatic, params: StepParams, logits: jnp.ndarray, j: int):
+    """Per-stream NN label/score logic from the logits — shared by the
+    per-stream and batched paths. Parity: wakeword_nn.rs:47-124,161-163."""
+    meta = static.nn_meta[j]
     n_labels = len(meta.labels)
     # Rust max_by returns the LAST maximal element on ties
     label_idx = n_labels - 1 - jnp.argmax(logits[::-1])
@@ -300,88 +317,198 @@ def run_wakeword_detectors(static: StepStatic, params: StepParams,
     return any_det, best, score_best, avg_best, scores_best
 
 
+# ----------------------------------------------------------- step stages
+# Module-level so the per-stream step (make_step, vmapped wholesale) and the
+# batched serving step (make_batched_chunk, which hand-batches the window +
+# scorer middle to keep the kernel's stream-minor layout out of vmap) share
+# the EXACT same code for everything else.
+
+def vad_is_voice(static: StepStatic, state: StreamState, mfcc: jnp.ndarray,
+                 update: jnp.ndarray):
+    """Energy VAD (vad.rs:11-36). `update` masks all state writes (the
+    reference short-circuits is_voice when a partial is active).
+
+    The reference keeps a 50-slot ring with a write index; only the
+    multiset of the last 50 values matters (min + over-threshold count),
+    so a shift register is exactly equivalent — and avoids a per-stream
+    scatter under vmap (TPU scatters serialize)."""
+    value = jnp.mean(jnp.abs(mfcc))
+    vwin = jnp.where(
+        update,
+        jnp.concatenate([state.vad_win[1:], value[None]]),
+        state.vad_win,
+    )
+    # min over non-NaN entries, floored at 0.01 (vad.rs:19-26)
+    mn = jnp.maximum(jnp.min(jnp.where(jnp.isnan(vwin), INF, vwin)), 0.01)
+    th = mn * jnp.float32(static.vad_factor)
+    n_high = jnp.sum(jnp.where(jnp.isnan(vwin), False, vwin > th))
+    vcount = jnp.where(update & (n_high > 10), VAD_VOICE_FRAMES, state.vad_countdown)
+    voice = vcount > 0
+    vcount = jnp.where(update & voice, vcount - 1, vcount)
+    return state._replace(vad_win=vwin, vad_countdown=vcount), voice
+
+
+def shift_front(static: StepStatic, params: StepParams, state: StreamState,
+                shift: jnp.ndarray, active: jnp.ndarray):
+    """Extractor buffer + MFCC + VAD for one shift (everything before the
+    window write). Returns (state, mfcc, emit_frame, should_run)."""
+    # --- extractor sliding buffer. Always-roll shift register: during
+    # warm-up the stale prefix is never read (emission starts only once
+    # 3 shifts are buffered, at which point the register contents equal
+    # the reference's sliding buffer exactly — extractor.rs:69-79).
+    full = state.ext_count >= SAMPLES_PER_FRAME
+    new_buf = jnp.concatenate([state.ext_buf[SAMPLES_PER_SHIFT:], shift])
+    new_count = jnp.minimum(state.ext_count + SAMPLES_PER_SHIFT, SAMPLES_PER_FRAME)
+    state = state._replace(
+        ext_buf=jnp.where(active, new_buf, state.ext_buf),
+        ext_count=jnp.where(active, new_count, state.ext_count),
+    )
+    emit_frame = active & full
+    consts = frontend.get_constants(static.mfcc_size + 1)
+    mfcc = frontend.mfcc_from_frames(state.ext_buf, consts)  # (C,)
+
+    # --- process_new_mfccs VAD gate (detector.rs:377-383)
+    if static.vad_enabled:
+        state, voice = vad_is_voice(
+            static, state, mfcc, emit_frame & ~state.partial_active
+        )
+        should_run = state.partial_active | voice
+    else:
+        should_run = jnp.bool_(True)
+    return state, mfcc, emit_frame, should_run
+
+
+def detection_bookkeeping(static: StepStatic, params: StepParams,
+                          state: StreamState, run: jnp.ndarray, det_out):
+    """detector.rs:398-432, fully masked by `run`. det_out = the wakeword
+    detectors' (any_det, best, score, avg, scores_vec) for this window —
+    computed unconditionally (masked semantics), so hoisting it out of the
+    countdown logic is behavior-preserving."""
+    F = static.max_mfcc_frames
+    # countdown decrement (:399-401)
+    countdown = jnp.where(run & (state.countdown != 0), state.countdown - 1, state.countdown)
+    done = run & state.partial_active & (
+        (countdown == 0)
+        | (jnp.bool_(static.eager) & (state.partial_counter >= static.min_scores))
+    )
+    emit = done & (state.partial_counter >= static.min_scores)
+    # partial is taken whenever done (:405), dropped silently if under min
+    partial_active = state.partial_active & ~done
+    event = Event(
+        fired=emit,
+        ww=state.partial_ww,
+        score=state.partial_score,
+        avg_score=state.partial_avg,
+        counter=state.partial_counter,
+        gain=state.partial_gain,
+        scores=state.partial_scores,
+    )
+    # on emit: full reset (detector.rs:406-408,290-302) and return —
+    # detectors do NOT run this frame
+    run_detectors = run & ~emit
+    any_det, best, score, avg, scores_vec = det_out
+    cand = run_detectors & any_det
+    counter = jnp.where(partial_active, state.partial_counter + 1, 1)
+    replace = cand & (~partial_active | (state.partial_score < score))
+    new_partial_active = partial_active | cand
+    state = state._replace(
+        partial_active=new_partial_active & ~emit,
+        partial_ww=jnp.where(replace, best, state.partial_ww),
+        partial_score=jnp.where(replace, score, state.partial_score),
+        partial_avg=jnp.where(replace, avg, state.partial_avg),
+        partial_scores=jnp.where(replace, scores_vec, state.partial_scores),
+        partial_gain=jnp.where(replace, state.gain, state.partial_gain),
+        # counter bumps on every candidate, replacing or not (:425-428)
+        partial_counter=jnp.where(cand, counter, state.partial_counter),
+        countdown=jnp.where(cand, F // 2, countdown),
+    )
+    # reset-on-emit: clear window, extractor, vad — not filters (:290-302)
+    state = state._replace(
+        win_count=jnp.where(emit, 0, state.win_count),
+        ext_count=jnp.where(emit, 0, state.ext_count),
+        vad_win=jnp.where(emit, jnp.full_like(state.vad_win, jnp.nan), state.vad_win),
+        vad_countdown=jnp.where(emit, 0, state.vad_countdown),
+        partial_active=jnp.where(emit, False, state.partial_active),
+    )
+    return state, event
+
+
+def prepare_chunk(static: StepStatic, params: StepParams, state: StreamState,
+                  samples: jnp.ndarray):
+    """Per-chunk front-end: resample, rms, gain normalizer, band-pass,
+    pre-emphasis. Returns (state, shifts (3, 160))."""
+    Wg = static.gain_window_size
+    if static.input_samples != SAMPLES_PER_FRAME:
+        from ..audio.resampler import make_jax_resampler
+
+        resample = make_jax_resampler(static.input_samples, SAMPLES_PER_FRAME)
+        overlap, samples = resample(state.rs_overlap, samples)
+        state = state._replace(rs_overlap=overlap)
+    # rms + gain normalizer (detector.rs:358-365)
+    rms = frontend.rms_level(samples)
+    state = state._replace(rms_level=rms)
+    if static.gain_enabled:
+        apply = ~jnp.isnan(params.gain_ref_sqrt) & (rms != 0.0)
+        # rolling rms window as a shift register: the mean over the last
+        # `count` entries equals the reference queue mean (order-free)
+        gwin = jnp.concatenate([state.gain_win[1:], rms[None]])
+        gcount = jnp.minimum(state.gain_count + 1, Wg)
+        mean = jnp.sum(
+            jnp.where(jnp.arange(Wg) >= Wg - gcount, gwin, 0.0)
+        ) / gcount.astype(jnp.float32)
+        # Rust f32::round is half-away-from-zero; gain is positive
+        gain = jnp.clip(
+            jnp.floor(params.gain_ref_sqrt / jnp.sqrt(mean) * 10.0 + 0.5) / 10.0,
+            static.gain_min,
+            static.gain_max,
+        )
+        gain = jnp.where(apply, gain, 1.0)
+        state = state._replace(
+            gain_win=jnp.where(apply, gwin, state.gain_win),
+            gain_count=jnp.where(apply, gcount, state.gain_count),
+            gain=gain,
+        )
+        samples = jnp.where(
+            gain != 1.0, jnp.clip(samples * gain, -1.0, 1.0), samples
+        )
+    # band-pass (detector.rs:366-371)
+    if static.bp_enabled:
+        a0, a1, a2, b1, b2 = (jnp.float32(c) for c in static.bp_coeffs)
+
+        def bp_step(c, x):
+            x1, x2, y1, y2 = c
+            y = a0 * x + a1 * x1 + a2 * x2 - b1 * y1 - b2 * y2
+            return (x, x1, y, y1), y
+
+        (x1, x2, y1, y2), samples = jax.lax.scan(
+            bp_step, (state.bp[0], state.bp[1], state.bp[2], state.bp[3]), samples
+        )
+        state = state._replace(bp=jnp.stack([x1, x2, y1, y2]))
+    # 3 shifts with per-shift pre-emphasis reset (extractor.rs:87-97)
+    shifts = frontend.pre_emphasis(samples.reshape(3, SAMPLES_PER_SHIFT))
+    return state, shifts
+
+
+def _no_event(static: StepStatic) -> Event:
+    return Event(
+        fired=jnp.bool_(False),
+        ww=jnp.int32(0),
+        score=jnp.float32(0),
+        avg_score=jnp.float32(0),
+        counter=jnp.int32(0),
+        gain=jnp.float32(jnp.nan),
+        scores=jnp.zeros((static.smax,), jnp.float32),
+    )
+
+
 # ------------------------------------------------------------------ the step
 
 def make_step(static: StepStatic):
     """Build step(params, state, samples480) -> (state', Event). Pure; jit/vmap
-    applied by callers (single stream or batched runtime)."""
+    applied by callers (single stream; the batched runtime uses
+    make_batched_chunk instead to control the window layout)."""
 
     F = static.max_mfcc_frames
-    Wg = static.gain_window_size
-
-    def vad_is_voice(state: StreamState, mfcc: jnp.ndarray, update: jnp.ndarray):
-        """Energy VAD (vad.rs:11-36). `update` masks all state writes (the
-        reference short-circuits is_voice when a partial is active).
-
-        The reference keeps a 50-slot ring with a write index; only the
-        multiset of the last 50 values matters (min + over-threshold count),
-        so a shift register is exactly equivalent — and avoids a per-stream
-        scatter under vmap (TPU scatters serialize)."""
-        value = jnp.mean(jnp.abs(mfcc))
-        vwin = jnp.where(
-            update,
-            jnp.concatenate([state.vad_win[1:], value[None]]),
-            state.vad_win,
-        )
-        # min over non-NaN entries, floored at 0.01 (vad.rs:19-26)
-        mn = jnp.maximum(jnp.min(jnp.where(jnp.isnan(vwin), INF, vwin)), 0.01)
-        th = mn * jnp.float32(static.vad_factor)
-        n_high = jnp.sum(jnp.where(jnp.isnan(vwin), False, vwin > th))
-        vcount = jnp.where(update & (n_high > 10), VAD_VOICE_FRAMES, state.vad_countdown)
-        voice = vcount > 0
-        vcount = jnp.where(update & voice, vcount - 1, vcount)
-        return state._replace(vad_win=vwin, vad_countdown=vcount), voice
-
-    def run_detection(params: StepParams, state: StreamState, run: jnp.ndarray):
-        """detector.rs:398-432, fully masked by `run`."""
-        # countdown decrement (:399-401)
-        countdown = jnp.where(run & (state.countdown != 0), state.countdown - 1, state.countdown)
-        done = run & state.partial_active & (
-            (countdown == 0)
-            | (jnp.bool_(static.eager) & (state.partial_counter >= static.min_scores))
-        )
-        emit = done & (state.partial_counter >= static.min_scores)
-        # partial is taken whenever done (:405), dropped silently if under min
-        partial_active = state.partial_active & ~done
-        event = Event(
-            fired=emit,
-            ww=state.partial_ww,
-            score=state.partial_score,
-            avg_score=state.partial_avg,
-            counter=state.partial_counter,
-            gain=state.partial_gain,
-            scores=state.partial_scores,
-        )
-        # on emit: full reset (detector.rs:406-408,290-302) and return —
-        # detectors do NOT run this frame
-        run_detectors = run & ~emit
-        any_det, best, score, avg, scores_vec = run_wakeword_detectors(
-            static, params, state.win, state.rot
-        )
-        cand = run_detectors & any_det
-        counter = jnp.where(partial_active, state.partial_counter + 1, 1)
-        replace = cand & (~partial_active | (state.partial_score < score))
-        new_partial_active = partial_active | cand
-        state = state._replace(
-            partial_active=new_partial_active & ~emit,
-            partial_ww=jnp.where(replace, best, state.partial_ww),
-            partial_score=jnp.where(replace, score, state.partial_score),
-            partial_avg=jnp.where(replace, avg, state.partial_avg),
-            partial_scores=jnp.where(replace, scores_vec, state.partial_scores),
-            partial_gain=jnp.where(replace, state.gain, state.partial_gain),
-            # counter bumps on every candidate, replacing or not (:425-428)
-            partial_counter=jnp.where(cand, counter, state.partial_counter),
-            countdown=jnp.where(cand, F // 2, countdown),
-        )
-        # reset-on-emit: clear window, extractor, vad — not filters (:290-302)
-        state = state._replace(
-            win_count=jnp.where(emit, 0, state.win_count),
-            ext_count=jnp.where(emit, 0, state.ext_count),
-            vad_win=jnp.where(emit, jnp.full_like(state.vad_win, jnp.nan), state.vad_win),
-            vad_countdown=jnp.where(emit, 0, state.vad_countdown),
-            partial_active=jnp.where(emit, False, state.partial_active),
-        )
-        return state, event
 
     def process_shift(params: StepParams, carry, shift_and_slot):
         """One 160-sample pre-emphasized shift (extractor.rs:69-79 +
@@ -390,29 +517,9 @@ def make_step(static: StepStatic):
         shift, slot = shift_and_slot
         state, halted, event0 = carry
         active = ~halted
-        # --- extractor sliding buffer. Always-roll shift register: during
-        # warm-up the stale prefix is never read (emission starts only once
-        # 3 shifts are buffered, at which point the register contents equal
-        # the reference's sliding buffer exactly — extractor.rs:69-79).
-        full = state.ext_count >= SAMPLES_PER_FRAME
-        new_buf = jnp.concatenate([state.ext_buf[SAMPLES_PER_SHIFT:], shift])
-        new_count = jnp.minimum(state.ext_count + SAMPLES_PER_SHIFT, SAMPLES_PER_FRAME)
-        state = state._replace(
-            ext_buf=jnp.where(active, new_buf, state.ext_buf),
-            ext_count=jnp.where(active, new_count, state.ext_count),
+        state, mfcc, emit_frame, should_run = shift_front(
+            static, params, state, shift, active
         )
-        emit_frame = active & full
-        consts = frontend.get_constants(static.mfcc_size + 1)
-        mfcc = frontend.mfcc_from_frames(state.ext_buf, consts)  # (C,)
-
-        # --- process_new_mfccs (detector.rs:377-397)
-        if static.vad_enabled:
-            state, voice = vad_is_voice(
-                state, mfcc, emit_frame & ~state.partial_active
-            )
-            should_run = state.partial_active | voice
-        else:
-            should_run = jnp.bool_(True)
         # push frame — circular write at the GLOBAL slot (cursor advances
         # every shift; the write is masked per stream). The reference pushes
         # then drains the oldest once the window is full (detector.rs:384-395);
@@ -430,7 +537,10 @@ def make_step(static: StepStatic):
             rot=slot,
         )
         win_full = state.win_count >= F
-        state, event = run_detection(params, state, emit_frame & win_full & should_run)
+        det_out = run_wakeword_detectors(static, params, state.win, state.rot)
+        state, event = detection_bookkeeping(
+            static, params, state, emit_frame & win_full & should_run, det_out
+        )
         fired = event.fired & active
         event = event._replace(fired=fired)
         # find_map: a fired detection halts the remaining shifts
@@ -439,72 +549,12 @@ def make_step(static: StepStatic):
         )
         return (state, halted | fired, out_event), None
 
-    if static.input_samples != SAMPLES_PER_FRAME:
-        from ..audio.resampler import make_jax_resampler
-
-        resample = make_jax_resampler(static.input_samples, SAMPLES_PER_FRAME)
-    else:
-        resample = None
-
     def step(params: StepParams, state: StreamState, samples: jnp.ndarray):
         """samples: (static.input_samples,) mono f32 → (state', Event).
         With in-graph resampling enabled, raw-rate samples are converted to
         the internal 16 kHz on-chip first (parity: encoder.rs:26-62)."""
-        if resample is not None:
-            overlap, samples = resample(state.rs_overlap, samples)
-            state = state._replace(rs_overlap=overlap)
-        # rms + gain normalizer (detector.rs:358-365)
-        rms = frontend.rms_level(samples)
-        state = state._replace(rms_level=rms)
-        if static.gain_enabled:
-            apply = ~jnp.isnan(params.gain_ref_sqrt) & (rms != 0.0)
-            # rolling rms window as a shift register: the mean over the last
-            # `count` entries equals the reference queue mean (order-free)
-            gwin = jnp.concatenate([state.gain_win[1:], rms[None]])
-            gcount = jnp.minimum(state.gain_count + 1, Wg)
-            mean = jnp.sum(
-                jnp.where(jnp.arange(Wg) >= Wg - gcount, gwin, 0.0)
-            ) / gcount.astype(jnp.float32)
-            # Rust f32::round is half-away-from-zero; gain is positive
-            gain = jnp.clip(
-                jnp.floor(params.gain_ref_sqrt / jnp.sqrt(mean) * 10.0 + 0.5) / 10.0,
-                static.gain_min,
-                static.gain_max,
-            )
-            gain = jnp.where(apply, gain, 1.0)
-            state = state._replace(
-                gain_win=jnp.where(apply, gwin, state.gain_win),
-                gain_count=jnp.where(apply, gcount, state.gain_count),
-                gain=gain,
-            )
-            samples = jnp.where(
-                gain != 1.0, jnp.clip(samples * gain, -1.0, 1.0), samples
-            )
-        # band-pass (detector.rs:366-371)
-        if static.bp_enabled:
-            a0, a1, a2, b1, b2 = (jnp.float32(c) for c in static.bp_coeffs)
-
-            def bp_step(c, x):
-                x1, x2, y1, y2 = c
-                y = a0 * x + a1 * x1 + a2 * x2 - b1 * y1 - b2 * y2
-                return (x, x1, y, y1), y
-
-            (x1, x2, y1, y2), samples = jax.lax.scan(
-                bp_step, (state.bp[0], state.bp[1], state.bp[2], state.bp[3]), samples
-            )
-            state = state._replace(bp=jnp.stack([x1, x2, y1, y2]))
-        # 3 shifts with per-shift pre-emphasis reset (extractor.rs:87-97)
-        shifts = frontend.pre_emphasis(samples.reshape(3, SAMPLES_PER_SHIFT))
-        no_event = Event(
-            fired=jnp.bool_(False),
-            ww=jnp.int32(0),
-            score=jnp.float32(0),
-            avg_score=jnp.float32(0),
-            counter=jnp.int32(0),
-            gain=jnp.float32(jnp.nan),
-            scores=jnp.zeros((static.smax,), jnp.float32),
-        )
-        carry = (state, jnp.bool_(False), no_event)
+        state, shifts = prepare_chunk(static, params, state, samples)
+        carry = (state, jnp.bool_(False), _no_event(static))
         # global circular write slots for the 3 shifts (cursor advances every
         # shift; per-stream writes are masked — state.py `rot`)
         slots = jnp.mod(
@@ -523,3 +573,210 @@ def make_step(static: StepStatic):
         return state, event
 
     return step
+
+
+# ------------------------------------------------- batched serving chunk
+
+def _dtw_scores_batched(static: StepStatic, params: StepParams,
+                        win_t: jnp.ndarray, rot: jnp.ndarray):
+    """Batched DTW scoring from the stream-minor circular window
+    win_t (F, C, B). Same math as _dtw_scores (the post-sims scoring is the
+    SAME function, vmapped); the means einsums and the fused kernel consume
+    the (…, B) layout directly, so no per-shift window transpose exists.
+    Returns (detected, score, avg_score, scores_mat) batched on axis 0:
+    ((B, D), (B, D), (B, D), (B, D, smax))."""
+    D, K, L = static.n_dtw, static.kmax, static.lmax
+    w = static.band_size
+    La = static.la_max
+    Lm = max(L, La)
+    C = static.mfcc_size
+    F = win_t.shape[0]
+    t_lens = params.dtw_lens  # (D, K)
+    a_lens = params.dtw_avg_len  # (D,)
+    idx = jnp.arange(F, dtype=jnp.int32)
+    lidx = jnp.mod(idx - rot - 1, F)
+    tmask = (lidx[None, None, :] < t_lens[..., None]).astype(jnp.float32)
+    means = jnp.einsum(
+        "dkf,fcb->dkcb", tmask, win_t, precision=jax.lax.Precision.HIGHEST
+    ) / t_lens[..., None, None].astype(jnp.float32)  # (D, K, C, B)
+    amask = (lidx[None, :] < a_lens[:, None]).astype(jnp.float32)
+    a_means = jnp.einsum(
+        "df,fcb->dcb", amask, win_t, precision=jax.lax.Precision.HIGHEST
+    ) / a_lens[:, None, None].astype(jnp.float32)  # (D, C, B)
+    means_all = jnp.concatenate(
+        [means.reshape(D * K, C, -1), a_means]
+    )  # (P, C, B)
+
+    def pad_rows(x, rows):
+        return jnp.pad(x, ((0, 0), (0, rows - x.shape[1]), (0, 0))) if x.shape[1] < rows else x
+
+    seq_a = jnp.concatenate(
+        [pad_rows(params.dtw_templates.reshape(D * K, L, C), Lm), pad_rows(params.dtw_avg, Lm)]
+    )
+    tnorms = jnp.sum(seq_a * seq_a, axis=-1)
+    from ..ops.dtw_dispatch import use_pallas
+    fused = static.dtw_fused if static.dtw_fused is not None else use_pallas()
+    smem_ok = (D * K + D) * Lm * C * 4 <= 256 * 1024
+    if fused and static.dtw_fused_variant >= 3 and smem_ok:
+        from ..ops.fused_dtw import fused_dtw_batch_v3_t
+
+        gon = params.dtw_has_avg & (params.dtw_avg_threshold != 0.0)
+        tcl = jnp.clip(params.dtw_avg_threshold, 1e-6, 1.0 - 1e-6)
+        bnd = (
+            2.0 * a_lens.astype(jnp.float32) * static.score_ref
+            * (1.0 + jnp.log(1.0 / tcl - 1.0))
+        )
+        gate_bounds = jnp.where(gon, bnd + jnp.abs(bnd) * 1e-4 + 1e-4, INF)
+        sims_all = fused_dtw_batch_v3_t(
+            win_t, means_all, seq_a, tnorms, gate_bounds,
+            static.dtw_pair_lens, w, D, K, rot,
+        )  # (B, P)
+        return jax.vmap(lambda s: _dtw_post(static, params, s))(sims_all)
+    # non-v3 paths (CPU tests, explicit fallback): identical per-stream code
+    win_b = jnp.moveaxis(win_t, -1, 0)  # (B, F, C)
+    return jax.vmap(lambda w_: _dtw_scores(static, params, w_, rot))(win_b)
+
+
+def _nn_scores_batched(static: StepStatic, params: StepParams,
+                       win_t: jnp.ndarray, rot: jnp.ndarray, j: int):
+    """Batched NN scoring from win_t (F, C, B). The first layer folds both
+    the circular rotation (rotated, zero-padded weights — see
+    _nn_scores_one) and the CMN subtraction into MXU contractions:
+      dot(x - mean, W) = dot(x, W) - dot(mean, sum_f W[f])
+    where sum_f of the rotated+padded weights equals the static per-coeff
+    column sums of the original weights (rotation permutes, padding adds
+    zeros). No (F, C, B) normalized-window materialization. The label/score
+    logic is the SAME per-stream function (_nn_post), vmapped."""
+    meta = static.nn_meta[j]
+    ts = meta.train_size
+    C = static.mfcc_size
+    F = win_t.shape[0]
+    idx = jnp.arange(F, dtype=jnp.int32)
+    lmask = (jnp.mod(idx - rot - 1, F) < ts).astype(jnp.float32)
+    mean = jnp.einsum(
+        "f,fcb->cb", lmask, win_t, precision=nn_mod._PRECISION
+    ) / jnp.float32(ts)  # (C, B)
+    w1, b1 = params.nn_params[j][0]  # (h1, ts*C)
+    h1 = w1.shape[0]
+    w1f = w1.reshape(h1, ts, C)
+    w1p = jnp.pad(w1f, ((0, 0), (0, F - ts), (0, 0)))
+    w1r = jnp.roll(w1p, rot + 1, axis=1)  # (h1, F, C)
+    wsum = jnp.sum(w1f, axis=1)  # (h1, C), rotation-invariant
+    hid = (
+        jnp.einsum("hfc,fcb->hb", w1r, win_t, precision=nn_mod._PRECISION)
+        - jnp.matmul(wsum, mean, precision=nn_mod._PRECISION)
+        + b1[:, None]
+    )  # (h1, B)
+    x = hid
+    for wl, bl in params.nn_params[j][1:]:
+        x = jax.nn.relu(x)
+        x = jnp.matmul(wl, x, precision=nn_mod._PRECISION) + bl[:, None]
+    logits = x.T  # (B, labels)
+    return jax.vmap(lambda lg: _nn_post(static, params, lg, j))(logits)
+
+
+def run_wakeword_detectors_batched(static: StepStatic, params: StepParams,
+                                   win_t: jnp.ndarray, rot: jnp.ndarray):
+    """Batched analogue of run_wakeword_detectors: (B,)-shaped best-candidate
+    selection with the same argmax/one-hot semantics."""
+    det_list, score_list, avg_list, scores_list = [], [], [], []
+    if static.n_dtw:
+        d, s, a, m = _dtw_scores_batched(static, params, win_t, rot)
+        det_list.append(d)
+        score_list.append(s)
+        avg_list.append(a)
+        scores_list.append(m)
+    for j in range(len(static.nn_meta)):
+        d, s, a, v = _nn_scores_batched(static, params, win_t, rot, j)
+        det_list.append(d[:, None])
+        score_list.append(s[:, None])
+        avg_list.append(a[:, None])
+        scores_list.append(v[:, None, :])
+    detected = jnp.concatenate(det_list, axis=1)  # (B, W)
+    score = jnp.concatenate(score_list, axis=1)
+    avg = jnp.concatenate(avg_list, axis=1)
+    scores = jnp.concatenate(scores_list, axis=1)  # (B, W, smax)
+    masked = jnp.where(detected, score, -INF)
+    best = jnp.argmax(masked, axis=1)  # (B,)
+    any_det = jnp.any(detected, axis=1)
+    onehot = jnp.arange(score.shape[1])[None, :] == best[:, None]
+    score_best = jnp.max(masked, axis=1)
+    avg_best = jnp.sum(jnp.where(onehot, avg, 0.0), axis=1)
+    scores_best = jnp.sum(jnp.where(onehot[:, :, None], scores, 0.0), axis=1)
+    return any_det, best, score_best, avg_best, scores_best
+
+
+def make_batched_chunk(static: StepStatic):
+    """Build chunk(params, states, frames(B, input_samples)) -> (states,
+    Event(B,)) for the batched serving runtime.
+
+    states.win is stored STREAM-MINOR: (F, C, B) — the fused kernel's native
+    layout — and is updated in place one (C, B) row per shift. Everything
+    except the window write and the wakeword scorers is the same per-stream
+    stage code as make_step, vmapped with the win leaf on axis 2 (untouched
+    pass-through) and the global rot cursor unbatched."""
+    F = static.max_mfcc_frames
+    AX = StreamState(**{
+        f: (None if f == "rot" else (2 if f == "win" else 0))
+        for f in StreamState._fields
+    })
+    vprep = jax.vmap(
+        lambda p, s, x: prepare_chunk(static, p, s, x),
+        in_axes=(None, AX, 0), out_axes=(AX, 0),
+    )
+    vfront = jax.vmap(
+        lambda p, s, sh, act: shift_front(static, p, s, sh, act),
+        in_axes=(None, AX, 0, 0), out_axes=(AX, 0, 0, 0),
+    )
+    vbook = jax.vmap(
+        lambda p, s, run, det: detection_bookkeeping(static, p, s, run, det),
+        in_axes=(None, AX, 0, 0), out_axes=(AX, 0),
+    )
+
+    def chunk(params: StepParams, states: StreamState, frames: jnp.ndarray):
+        B = frames.shape[0]
+        states, shifts = vprep(params, states, frames)  # shifts (B, 3, 160)
+        shifts = jnp.moveaxis(shifts, 0, 1)  # (3, B, 160)
+        slots = jnp.mod(
+            states.rot + 1 + jnp.arange(3, dtype=jnp.int32), jnp.int32(F)
+        )
+        event0 = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (B,) + x.shape), _no_event(static)
+        )
+        carry = (states, jnp.zeros((B,), bool), event0)
+
+        def body(carry, xs):
+            states, halted, ev0 = carry
+            shift_b, slot = xs
+            active = ~halted
+            states, mfcc_b, emit_b, should_run_b = vfront(
+                params, states, shift_b, active
+            )
+            win = states.win  # (F, C, B)
+            old_row = jax.lax.dynamic_slice(
+                win, (slot, 0, 0), (1,) + win.shape[1:]
+            )[0]  # (C, B)
+            new_row = jnp.where(emit_b[None, :], mfcc_b.T, old_row)
+            win = jax.lax.dynamic_update_slice(win, new_row[None], (slot, 0, 0))
+            win_count = jnp.where(
+                emit_b, jnp.minimum(states.win_count + 1, F), states.win_count
+            )
+            states = states._replace(win=win, win_count=win_count, rot=slot)
+            det_out = run_wakeword_detectors_batched(static, params, win, slot)
+            run = emit_b & (win_count >= F) & should_run_b
+            states, event = vbook(params, states, run, det_out)
+            fired = event.fired & active
+            event = event._replace(fired=fired)
+            out_event = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(
+                    ev0.fired.reshape((B,) + (1,) * (a.ndim - 1)), a, b
+                ),
+                ev0, event,
+            )
+            return (states, halted | fired, out_event), None
+
+        carry, _ = jax.lax.scan(body, carry, (shifts, slots))
+        states, _, event = carry
+        return states, event
+
+    return chunk

@@ -179,7 +179,8 @@ def test_add_longer_wakeword_grows_window_and_still_detects(frames, cfg, chirp):
     wc_before = int(np.asarray(states.win_count)[0])
     states = det.add_wakeword("long", _noise_wakeword("long", length=60, seed=13), states)
     assert det.static.max_mfcc_frames == 60 > F_old
-    assert states.win.shape == (2, 60, 5)
+    # serving layout is stream-minor: (F, C, B)
+    assert states.win.shape == (60, 5, 2)
     assert int(np.asarray(states.win_count)[0]) == wc_before  # carried, refills
     _, ev = _run(det, states, batch[20:])
     assert ev.fired.sum(axis=0).tolist() == [1, 1]  # chirp still detected
