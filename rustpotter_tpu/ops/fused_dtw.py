@@ -54,6 +54,19 @@ SUBLANES = 8
 LANES = 128
 
 
+def _check_band(band: int) -> None:
+    """The DP phase harvests the similarity at band slot w+1 (the padded
+    [m-1][n] cell), which only exists inside the 2w-wide frontier for
+    w >= 2 — a band_size of 1 would index past it at trace time with an
+    opaque error (ADVICE r3). The reference's default band is 5
+    (constants.rs:5); configure band_size >= 2 for the fused kernels."""
+    if band < 2:
+        raise ValueError(
+            f"fused DTW kernels require band_size >= 2 (got {band}): the "
+            "[m-1][n] similarity cell lies outside a width-2 frontier"
+        )
+
+
 def _kernel(Lm, C, w, P, lens_ref, means_ref, templates_ref,
             win_ref, out_ref, *scratch):
     """Grid cell = stream tile g; blocks deliver this tile's slices.
@@ -403,6 +416,287 @@ def _kernel_v3(Lm, F, C, w, D, K, jch, lens_ref, means_ref, win_ref, tsm_ref,
                 out_ref[0, p] = inf_tile
 
 
+def _kernel_v4(Lm, F, C, w, D, K, jch, lens_ref, means_ref, win_ref, new_ref,
+               tsm_ref, dotm_ref, gate_ref, out_ref, *scratch):
+    """Whole-chunk variant of `_kernel_v3`: grid (stream tile g, shift s) —
+    ONE kernel invocation scores all 3 MFCC shifts of a 30 ms chunk.
+
+    The reference scores the window after every 10 ms frame push
+    (detector.rs:374-397). The per-shift windows differ only in the s newest
+    rows, so instead of writing rows between three kernel launches (which
+    forces the window through the XLA while-carry — measured two full
+    (F, C, B) layout-conversion copies per chunk plus a tiled copy per shift,
+    ~700 us at B=8192), the kernel takes the PRE-chunk circular window plus
+    the 3 new rows (new_ref) and linearizes the VIRTUAL window of shift s in
+    VMEM: logical column i comes from new_ref when i >= F - (s+1), else from
+    win_ref at the rot-derived row. The window block's index map ignores s,
+    so Mosaic keeps it resident across the 3 shift grid-steps: one window
+    DMA per stream tile per CHUNK instead of per shift.
+
+    Correctness of the virtual window: a stream whose row write is masked
+    off (extractor warm-up, or halted by an earlier in-chunk detection) has
+    win_count < F at every remaining shift of the chunk (warm-up and
+    win_count reset together, runtime/stream_step.py), so its scores are
+    discarded by the `run` mask downstream — the virtual rows are only ever
+    consumed where they equal the really-written rows.
+
+    means_ref/dotm_ref carry the per-SHIFT CMN means (computed against the
+    same virtual windows) and their template dot products; pair layout,
+    SMEM templates, gating and the DP recurrence are exactly _kernel_v3's.
+    """
+    W2 = 2 * w
+    P = D * K + D
+    lin_s = scratch[0]
+    rwn_s = scratch[1:P + 1]
+    cost_s = scratch[P + 1:]
+    g = pl.program_id(0)
+    s = pl.program_id(1)
+    ns = s + 1  # number of new rows visible at this shift
+    rot0 = lens_ref[P + 1]
+    rot_s = rot0 + ns
+    rot_s = jnp.where(rot_s >= F, rot_s - F, rot_s)
+
+    # --- linearize the virtual window for shift s. Columns below F-3 can
+    # never be new rows (ns <= 3) — static fori_loop of bulk loads; the last
+    # <=3 columns select new_ref[i - (F - ns)] when that index is >= 0.
+    lim = min(max(F - 3, 0), Lm)
+
+    def lin_body(c, _):
+        ph = rot_s + 1 + c
+        ph = jnp.where(ph >= F, ph - F, ph)
+        lin_s[c] = win_ref[ph, :, 0]
+        return 0
+
+    jax.lax.fori_loop(0, lim, lin_body, 0)
+    for i in range(lim, Lm):
+        ph = rot_s + 1 + i
+        ph = jnp.where(ph >= F, ph - F, ph)
+        wv = win_ref[ph, :, 0]
+        nj = i - (F - ns)  # new-row index, valid when >= 0
+        nv = new_ref[jnp.clip(nj, 0, 2), :, 0]
+        lin_s[i] = jnp.where(nj >= 0, nv, wv)
+
+    iota = (
+        jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 0) * LANES
+        + jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 1)
+    )
+    lane_valid = (g * (SUBLANES * LANES) + iota) < lens_ref[P]
+
+    def compute_rwn(p):
+        m = means_ref[0, p, :, 0]  # (C, 8, 128)
+
+        def cbody(c, _):
+            d = lin_s[c] - m
+            wn2 = jnp.sum(d * d, axis=0)
+            rwn_s[p][c] = jnp.where(wn2 == 0.0, 0.0, jax.lax.rsqrt(wn2))
+            return 0
+
+        jax.lax.fori_loop(0, Lm, cbody, 0)
+
+    def cost_phase(pairs):
+        np_ = len(pairs)
+
+        def cost_row(r, _):
+            wcl = [jnp.clip(r - w + j - 1, 0, Lm - 1) for j in range(W2)]
+            for j0 in range(0, W2, jch):
+                jj_n = min(jch, W2 - j0)
+                accs = [[None] * jj_n for _ in range(np_)]
+                for c in range(C):
+                    ts = [tsm_ref[p * Lm + r - 1, c] for p in pairs]
+                    for jj in range(jj_n):
+                        wt = lin_s[wcl[j0 + jj], c]
+                        for i in range(np_):
+                            prodsum = ts[i] * wt
+                            accs[i][jj] = prodsum if accs[i][jj] is None \
+                                else accs[i][jj] + prodsum
+                for jj in range(jj_n):
+                    for i, p in enumerate(pairs):
+                        cost_s[i][r - 1, j0 + jj] = 1.0 - (
+                            (accs[i][jj] - dotm_ref[0, p, r - 1, 0])
+                            * rwn_s[p][wcl[j0 + jj]]
+                        )
+            return 0
+
+        jax.lax.fori_loop(1, Lm + 1, cost_row, 0)
+
+    inf_tile = jnp.full((SUBLANES, LANES), INF, jnp.float32)
+
+    def dp_phase(i, p):
+        n = lens_ref[p]
+        prev0 = tuple(
+            jnp.zeros((SUBLANES, LANES), jnp.float32) if j == w else inf_tile
+            for j in range(W2)
+        )
+
+        def dp_row(r, carry):
+            prev, result = carry
+            new = []
+            for j in range(W2):
+                cdp = r - w + j
+                cost = cost_s[i][r - 1, j]
+                valid = (cdp >= 1) & (cdp <= jnp.minimum(n, r + w - 1))
+                cost = jnp.where(valid, cost, INF)
+                ins = prev[j + 1] if j + 1 < W2 else inf_tile
+                base = jnp.minimum(ins, prev[j])
+                new.append((cost, cost + base))
+            for j in range(1, W2):
+                new[j] = (new[j][0],
+                          jnp.minimum(new[j][1], new[j][0] + new[j - 1][1]))
+            vals = tuple(v for _, v in new)
+            result = jnp.where(r == n - 1, vals[w + 1], result)
+            return (vals, result)
+
+        _, result = jax.lax.fori_loop(1, Lm + 1, dp_row, (prev0, inf_tile))
+        out_ref[0, 0, p] = result
+        return result
+
+    for d in range(D):
+        ap = D * K + d
+        compute_rwn(ap)
+        cost_phase((ap,))
+        avg_sim = dp_phase(0, ap)
+        gated = jnp.where(lane_valid, avg_sim, INF)
+        any_pass = jnp.any(gated <= gate_ref[d])
+        tpl_pairs = tuple(d * K + k for k in range(K))
+
+        @pl.when(any_pass)
+        def _compute(d=d, tpl_pairs=tpl_pairs):
+            for p in tpl_pairs:
+                compute_rwn(p)
+            cost_phase(tpl_pairs)
+            for i, p in enumerate(tpl_pairs):
+                dp_phase(i, p)
+
+        @pl.when(jnp.logical_not(any_pass))
+        def _skip(tpl_pairs=tpl_pairs):
+            for p in tpl_pairs:
+                out_ref[0, 0, p] = inf_tile
+
+
+def fused_dtw_chunk_v4(
+    win_t: jnp.ndarray,
+    new_t: jnp.ndarray,
+    means3_t: jnp.ndarray,
+    templates: jnp.ndarray,
+    tnorms: jnp.ndarray,
+    gate_bounds: jnp.ndarray,
+    lens: tuple,
+    band: int,
+    D: int,
+    K: int,
+    rot0,
+    interpret: bool = False,
+    jch: int = 5,
+) -> jnp.ndarray:
+    """Whole-chunk v4 driver. win_t (F, C, B) = PRE-chunk circular window
+    with cursor rot0; new_t (3, C, B) = the chunk's 3 new MFCC frames;
+    means3_t (3, P, C, B) = per-shift CMN means over the virtual windows.
+    Returns sims (B, 3, P)."""
+    F, C, B = win_t.shape
+    Lm = templates.shape[1]
+    P = means3_t.shape[1]
+    assert P == D * K + D, (P, D, K)
+    assert F >= Lm, (F, Lm)
+    assert F >= 3, F
+    _check_band(band)
+    w = band
+    templates = templates * jnp.where(
+        tnorms == 0.0, 0.0, jax.lax.rsqrt(tnorms)
+    )[..., None]
+    # dot(T'[r], m) per (shift, pair, row, stream): one MXU einsum per chunk
+    # (hoisted across the 3 shifts — VERDICT r3 next#1a)
+    dotm = jnp.einsum(
+        "plc,spcb->splb", templates, means3_t,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (3, P, Lm, B)
+    TILE = SUBLANES * LANES
+    n_tiles = -(-B // TILE)
+    Bp = n_tiles * TILE
+    if Bp != B:
+        win_t = jnp.pad(win_t, ((0, 0), (0, 0), (0, Bp - B)))
+        new_t = jnp.pad(new_t, ((0, 0), (0, 0), (0, Bp - B)))
+        means3_t = jnp.pad(means3_t, ((0, 0), (0, 0), (0, 0), (0, Bp - B)))
+        dotm = jnp.pad(dotm, ((0, 0), (0, 0), (0, 0), (0, Bp - B)))
+    win5 = win_t.reshape(F, C, n_tiles, SUBLANES, LANES)
+    new5 = new_t.reshape(3, C, n_tiles, SUBLANES, LANES)
+    means5 = means3_t.reshape(3, P, C, n_tiles, SUBLANES, LANES)
+    dotm5 = dotm.reshape(3, P, Lm, n_tiles, SUBLANES, LANES)
+    lens_arr = jnp.concatenate([
+        jnp.asarray(np.asarray(lens, np.int32)),
+        jnp.asarray([B], jnp.int32),
+        jnp.asarray(rot0, jnp.int32).reshape(1),
+    ])
+    tsm = templates.reshape(P * Lm, C)
+    gate_smem = gate_bounds.astype(jnp.float32)
+
+    grid_in_specs = [
+        pl.BlockSpec(
+            (1, P, C, 1, SUBLANES, LANES),
+            lambda g, s, lens: (s, 0, 0, g, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        # window block index ignores s → resident across the 3 shift steps
+        pl.BlockSpec(
+            (F, C, 1, SUBLANES, LANES),
+            lambda g, s, lens: (0, 0, g, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (3, C, 1, SUBLANES, LANES),
+            lambda g, s, lens: (0, 0, g, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(
+            (1, P, Lm, 1, SUBLANES, LANES),
+            lambda g, s, lens: (s, 0, 0, g, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    scratch_shapes = [
+        pltpu.VMEM((Lm, C, SUBLANES, LANES), jnp.float32)  # linearized window
+    ] + [
+        pltpu.VMEM((Lm, SUBLANES, LANES), jnp.float32) for _ in range(P)
+    ] + [
+        pltpu.VMEM((Lm, 2 * w, SUBLANES, LANES), jnp.float32)
+        for _ in range(max(K, 1))
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles, 3),
+        in_specs=grid_in_specs,
+        out_specs=pl.BlockSpec(
+            (1, 1, P, SUBLANES, LANES),
+            lambda g, s, lens: (g, s, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=scratch_shapes,
+    )
+    tile_b = SUBLANES * LANES * 4
+    need = (
+        2 * (F * C + 3 * C + P * C + P * Lm) * tile_b  # in blocks, dbl-buffered
+        + sum(int(np.prod(sh.shape)) * 4 for sh in scratch_shapes)
+        + 2 * P * tile_b
+    )
+    vmem_limit = max(16 * 1024 * 1024, int(need * 1.25))
+    try:
+        compiler_params = pltpu.CompilerParams(vmem_limit_bytes=vmem_limit)
+    except TypeError:
+        compiler_params = pltpu.TPUCompilerParams(vmem_limit_bytes=vmem_limit)
+    out = pl.pallas_call(
+        partial(_kernel_v4, Lm, F, C, w, D, K, jch),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_tiles, 3, P, SUBLANES, LANES), jnp.float32
+        ),
+        compiler_params=compiler_params,
+        interpret=interpret,
+    )(lens_arr, means5, win5, new5, tsm, dotm5, gate_smem)
+    out = jnp.transpose(out, (0, 3, 4, 1, 2)).reshape(Bp, 3, P)
+    return out[:B]
+
+
 def fused_dtw_batch_v3(
     win: jnp.ndarray,
     means: jnp.ndarray,
@@ -463,6 +757,7 @@ def fused_dtw_batch_v3_t(
     P = means_t.shape[0]
     assert P == D * K + D, (P, D, K)
     assert F >= Lm, (F, Lm)
+    _check_band(band)
     w = band
     templates = templates * jnp.where(
         tnorms == 0.0, 0.0, jax.lax.rsqrt(tnorms)
@@ -575,6 +870,7 @@ def fused_dtw_batch(
     A/B probing (tools/kernel_probe.py --v1)."""
     B, Lm, C = win.shape
     P = means.shape[1]
+    _check_band(band)
     w = band
     # pre-normalize template rows (guarded: zero rows stay zero ⇒ cos 0);
     # keeps scalar-unit rsqrt/select out of the kernel's row loop

@@ -335,15 +335,24 @@ class BatchedDetector:
         return self._reset(states, mask, init_state(self.static, (self.batch_size,)))
 
 
-def _reset_streams(states: StreamState, mask: jnp.ndarray, fresh: StreamState) -> StreamState:
-    def sel(a, b):
-        # global leaves (rot cursor) are never reset, and the stream-minor
-        # window content is left stale on purpose: win_count=0 (reset below
-        # via its own leaf) masks scoring until the window refills, exactly
-        # like the circular-buffer semantics in state.py
-        if a.ndim < mask.ndim or a.shape != b.shape:
-            return a
-        m = mask.reshape(mask.shape + (1,) * (a.ndim - mask.ndim))
-        return jnp.where(m, b, a)
+# Leaves selected BY FIELD NAME (not by shape — a B == F == C config makes
+# the stream-minor (F, C, B) window shape-collide with the fresh stream-major
+# (B, F, C) state and a shape heuristic would mask the wrong axis):
+#   rot — the global circular cursor is shared by all streams, never reset;
+#   win — window content is left stale on purpose: win_count=0 masks scoring
+#         until the window refills, exactly like the circular-buffer
+#         semantics in state.py.
+_RESET_SKIP_FIELDS = frozenset({"rot", "win"})
 
-    return jax.tree_util.tree_map(sel, states, fresh)
+
+def _reset_streams(states: StreamState, mask: jnp.ndarray, fresh: StreamState) -> StreamState:
+    out = {}
+    for f in StreamState._fields:
+        a = getattr(states, f)
+        if f in _RESET_SKIP_FIELDS:
+            out[f] = a
+            continue
+        b = getattr(fresh, f)
+        m = mask.reshape(mask.shape + (1,) * (a.ndim - mask.ndim))
+        out[f] = jnp.where(m, b, a)
+    return StreamState(**out)

@@ -73,6 +73,26 @@ def sort_last_axis(x: jnp.ndarray) -> jnp.ndarray:
 
 # ------------------------------------------------------------------ scoring
 
+def _avg_gate_bounds(static: StepStatic, params: StepParams,
+                     a_lens: jnp.ndarray) -> jnp.ndarray:
+    """Sim-domain avg-gate tile-skip bounds for the v3 fused kernel, (D,).
+
+    score(sim) >= th ⟺ sim <= 2·La·ref·(1 + ln(1/th − 1)) (the logistic
+    cost_to_score is monotone ↓ in sim). A small relative margin keeps the
+    kernel's skip conservative vs the f32 score-domain comparison in
+    _dtw_post, which stays authoritative per stream. +inf disables the gate
+    (no avg template, or avg_threshold == 0). The clip edge cases are
+    unreachable (thresholds live in (0, 1)); the margin constants are
+    load-bearing for conservativeness — keep this the ONLY copy (ADVICE r3)."""
+    gon = params.dtw_has_avg & (params.dtw_avg_threshold != 0.0)
+    tcl = jnp.clip(params.dtw_avg_threshold, 1e-6, 1.0 - 1e-6)
+    bnd = (
+        2.0 * a_lens.astype(jnp.float32) * static.score_ref
+        * (1.0 + jnp.log(1.0 / tcl - 1.0))
+    )
+    return jnp.where(gon, bnd + jnp.abs(bnd) * 1e-4 + 1e-4, INF)
+
+
 def _reduce_mode(scores: jnp.ndarray, kvalid: jnp.ndarray, mode: ScoreMode) -> jnp.ndarray:
     """Score-mode reduction over the (possibly padded) template axis.
     scores: (D, K); kvalid: (D,) actual template counts."""
@@ -161,19 +181,7 @@ def _dtw_scores(static: StepStatic, params: StepParams, win: jnp.ndarray,
         if static.dtw_fused_variant >= 3 and smem_ok:
             from ..ops.fused_dtw import make_fused_scorer_v3
 
-            # avg-gate tile-skip bound, sim domain: score(sim) >= th
-            # ⟺ sim <= 2·La·ref·(1 + ln(1/th − 1)) (logistic is monotone ↓
-            # in sim). A small relative margin keeps the kernel's skip
-            # conservative vs the f32 score-domain comparison below, which
-            # stays authoritative per stream. +inf disables the gate
-            # (no avg template, or avg_threshold == 0).
-            gon = params.dtw_has_avg & (params.dtw_avg_threshold != 0.0)
-            tcl = jnp.clip(params.dtw_avg_threshold, 1e-6, 1.0 - 1e-6)
-            bnd = (
-                2.0 * a_lens.astype(jnp.float32) * static.score_ref
-                * (1.0 + jnp.log(1.0 / tcl - 1.0))
-            )
-            gate_bounds = jnp.where(gon, bnd + jnp.abs(bnd) * 1e-4 + 1e-4, INF)
+            gate_bounds = _avg_gate_bounds(static, params, a_lens)
             scorer = make_fused_scorer_v3(static.dtw_pair_lens, w, D, K, Lm)
             # the v3 kernel reads the circular buffer directly (rot maps
             # logical DP columns to physical rows in-kernel) — no roll copy
@@ -348,25 +356,19 @@ def vad_is_voice(static: StepStatic, state: StreamState, mfcc: jnp.ndarray,
     return state._replace(vad_win=vwin, vad_countdown=vcount), voice
 
 
-def shift_front(static: StepStatic, params: StepParams, state: StreamState,
-                shift: jnp.ndarray, active: jnp.ndarray):
-    """Extractor buffer + MFCC + VAD for one shift (everything before the
-    window write). Returns (state, mfcc, emit_frame, should_run)."""
-    # --- extractor sliding buffer. Always-roll shift register: during
-    # warm-up the stale prefix is never read (emission starts only once
-    # 3 shifts are buffered, at which point the register contents equal
-    # the reference's sliding buffer exactly — extractor.rs:69-79).
+def shift_count_vad(static: StepStatic, state: StreamState, mfcc: jnp.ndarray,
+                    active: jnp.ndarray):
+    """Extractor fill-count advance + emit flag + VAD gate for one shift,
+    given the frame's MFCC. The extractor BUFFER itself is handled by the
+    caller: in-scan for the per-stream step (shift_front), hoisted
+    whole-chunk for the batched runtime (make_batched_chunk).
+    Returns (state, emit_frame, should_run)."""
     full = state.ext_count >= SAMPLES_PER_FRAME
-    new_buf = jnp.concatenate([state.ext_buf[SAMPLES_PER_SHIFT:], shift])
     new_count = jnp.minimum(state.ext_count + SAMPLES_PER_SHIFT, SAMPLES_PER_FRAME)
     state = state._replace(
-        ext_buf=jnp.where(active, new_buf, state.ext_buf),
-        ext_count=jnp.where(active, new_count, state.ext_count),
+        ext_count=jnp.where(active, new_count, state.ext_count)
     )
     emit_frame = active & full
-    consts = frontend.get_constants(static.mfcc_size + 1)
-    mfcc = frontend.mfcc_from_frames(state.ext_buf, consts)  # (C,)
-
     # --- process_new_mfccs VAD gate (detector.rs:377-383)
     if static.vad_enabled:
         state, voice = vad_is_voice(
@@ -375,6 +377,22 @@ def shift_front(static: StepStatic, params: StepParams, state: StreamState,
         should_run = state.partial_active | voice
     else:
         should_run = jnp.bool_(True)
+    return state, emit_frame, should_run
+
+
+def shift_front(static: StepStatic, params: StepParams, state: StreamState,
+                shift: jnp.ndarray, active: jnp.ndarray):
+    """Extractor buffer + MFCC + VAD for one shift (everything before the
+    window write). Returns (state, mfcc, emit_frame, should_run)."""
+    # --- extractor sliding buffer. Always-roll shift register: during
+    # warm-up the stale prefix is never read (emission starts only once
+    # 3 shifts are buffered, at which point the register contents equal
+    # the reference's sliding buffer exactly — extractor.rs:69-79).
+    new_buf = jnp.concatenate([state.ext_buf[SAMPLES_PER_SHIFT:], shift])
+    state = state._replace(ext_buf=jnp.where(active, new_buf, state.ext_buf))
+    consts = frontend.get_constants(static.mfcc_size + 1)
+    mfcc = frontend.mfcc_from_frames(state.ext_buf, consts)  # (C,)
+    state, emit_frame, should_run = shift_count_vad(static, state, mfcc, active)
     return state, mfcc, emit_frame, should_run
 
 
@@ -576,15 +594,68 @@ def make_step(static: StepStatic):
 
 
 # ------------------------------------------------- batched serving chunk
+#
+# The serving runtime processes a whole 30 ms chunk (3 MFCC shifts) in one
+# traced program with NO compute inside the shift loop (VERDICT r3 next#1):
+#   - the extractor buffer trajectory is data-independent within a chunk
+#     (the reference consumes all 480 samples before the find_map short
+#     circuit, detector.rs:372-375), so the 3 frames' MFCCs are ONE batched
+#     GEMM chain over (B, 3, 480);
+#   - the 3 per-shift windows differ from the pre-chunk window only in the
+#     newest rows, so scoring runs against VIRTUAL windows (window + the 3
+#     new rows), the CMN means/dotm einsums read the window ONCE per chunk,
+#     and the fused v4 kernel scores all 3 shifts in one invocation;
+#   - only (B,)-scalar bookkeeping (ext fill count, VAD, win_count,
+#     countdown/partial/emit) remains in the — now unrolled — shift loop.
+#
+# Virtual-window validity: scores are consumed only where `run` holds, which
+# requires win_count >= F; any stream with a masked-off row write this chunk
+# (extractor warm-up or an in-chunk halt) has win_count reset alongside and
+# stays < F for >= F/3 chunks, so its virtual-window scores are discarded.
+# Requires F >= 3 (asserted in make_batched_chunk).
 
-def _dtw_scores_batched(static: StepStatic, params: StepParams,
-                        win_t: jnp.ndarray, rot: jnp.ndarray):
-    """Batched DTW scoring from the stream-minor circular window
-    win_t (F, C, B). Same math as _dtw_scores (the post-sims scoring is the
-    SAME function, vmapped); the means einsums and the fused kernel consume
-    the (…, B) layout directly, so no per-shift window transpose exists.
-    Returns (detected, score, avg_score, scores_mat) batched on axis 0:
-    ((B, D), (B, D), (B, D), (B, D, smax))."""
+
+def _chunk_slot_masks(F: int, t_all: jnp.ndarray, rot0: jnp.ndarray):
+    """Coverage masks for per-shift masked means over the VIRTUAL windows.
+
+    Returns (maskA (3, P, F) f32, maskB (3, P, 3) f32): for shift s
+    (0-based; ns = s+1 new rows), maskA selects the pre-chunk window rows
+    whose logical index at rot_s is < t and which are NOT superseded by a
+    new row; maskB selects new row j (landing at logical F - ns + j) when
+    covered. mean_s = (maskA·win + maskB·new) / t."""
+    idx = jnp.arange(F, dtype=jnp.int32)
+    ns = jnp.arange(1, 4, dtype=jnp.int32)  # (3,)
+    rot_s = jnp.mod(rot0 + ns, F)
+    lidx = jnp.mod(idx[None, :] - rot_s[:, None] - 1, F)  # (3, F)
+    covered = lidx[:, None, :] < t_all[None, :, None]  # (3, P, F)
+    slots = jnp.mod(rot0 + 1 + jnp.arange(3, dtype=jnp.int32), F)  # (3,)
+    jn = jnp.arange(3, dtype=jnp.int32)
+    # slot j (written at shift j) is superseded at shifts s >= j
+    superseded = jnp.any(
+        (idx[None, None, :] == slots[None, :, None])
+        & (ns[:, None, None] >= (jn + 1)[None, :, None]),
+        axis=1,
+    )  # (3, F)
+    maskA = (covered & ~superseded[:, None, :]).astype(jnp.float32)
+    lnew = F - ns[:, None] + jn[None, :]  # (3, 3) logical index of new row j
+    maskB = (
+        (jn[None, None, :] < ns[:, None, None])
+        & (lnew[:, None, :] < t_all[None, :, None])
+    ).astype(jnp.float32)
+    return maskA, maskB
+
+
+def _dtw_scores_chunk(static: StepStatic, params: StepParams,
+                      win_t: jnp.ndarray, new_t: jnp.ndarray,
+                      rot0: jnp.ndarray):
+    """DTW det_outs for all 3 shifts of a chunk. win_t (F, C, B) = PRE-chunk
+    stream-minor circular window; new_t (3, C, B) = the chunk's new frames.
+    Fused path: per-shift means via ONE masked MXU einsum over the window
+    (+ a tiny one over the new rows), hoisted dotm, and the whole-chunk v4
+    kernel. Fallback (CPU tests, big template sets): materialize the 3
+    virtual windows and run the per-stream scoring chain — identical math
+    to the single-stream path. Returns a list of 3 (detected, score,
+    avg_score, scores_mat) tuples batched on axis 0."""
     D, K, L = static.n_dtw, static.kmax, static.lmax
     w = static.band_size
     La = static.la_max
@@ -593,19 +664,6 @@ def _dtw_scores_batched(static: StepStatic, params: StepParams,
     F = win_t.shape[0]
     t_lens = params.dtw_lens  # (D, K)
     a_lens = params.dtw_avg_len  # (D,)
-    idx = jnp.arange(F, dtype=jnp.int32)
-    lidx = jnp.mod(idx - rot - 1, F)
-    tmask = (lidx[None, None, :] < t_lens[..., None]).astype(jnp.float32)
-    means = jnp.einsum(
-        "dkf,fcb->dkcb", tmask, win_t, precision=jax.lax.Precision.HIGHEST
-    ) / t_lens[..., None, None].astype(jnp.float32)  # (D, K, C, B)
-    amask = (lidx[None, :] < a_lens[:, None]).astype(jnp.float32)
-    a_means = jnp.einsum(
-        "df,fcb->dcb", amask, win_t, precision=jax.lax.Precision.HIGHEST
-    ) / a_lens[:, None, None].astype(jnp.float32)  # (D, C, B)
-    means_all = jnp.concatenate(
-        [means.reshape(D * K, C, -1), a_means]
-    )  # (P, C, B)
 
     def pad_rows(x, rows):
         return jnp.pad(x, ((0, 0), (0, rows - x.shape[1]), (0, 0))) if x.shape[1] < rows else x
@@ -618,80 +676,125 @@ def _dtw_scores_batched(static: StepStatic, params: StepParams,
     fused = static.dtw_fused if static.dtw_fused is not None else use_pallas()
     smem_ok = (D * K + D) * Lm * C * 4 <= 256 * 1024
     if fused and static.dtw_fused_variant >= 3 and smem_ok:
-        from ..ops.fused_dtw import fused_dtw_batch_v3_t
+        from ..ops.fused_dtw import fused_dtw_chunk_v4
 
-        gon = params.dtw_has_avg & (params.dtw_avg_threshold != 0.0)
-        tcl = jnp.clip(params.dtw_avg_threshold, 1e-6, 1.0 - 1e-6)
-        bnd = (
-            2.0 * a_lens.astype(jnp.float32) * static.score_ref
-            * (1.0 + jnp.log(1.0 / tcl - 1.0))
+        t_all = jnp.concatenate([t_lens.reshape(-1), a_lens])  # (P,)
+        maskA, maskB = _chunk_slot_masks(F, t_all, rot0)
+        sums = jnp.einsum(
+            "spf,fcb->spcb", maskA, win_t, precision=jax.lax.Precision.HIGHEST
+        ) + jnp.einsum(
+            "spj,jcb->spcb", maskB, new_t, precision=jax.lax.Precision.HIGHEST
         )
-        gate_bounds = jnp.where(gon, bnd + jnp.abs(bnd) * 1e-4 + 1e-4, INF)
-        sims_all = fused_dtw_batch_v3_t(
-            win_t, means_all, seq_a, tnorms, gate_bounds,
-            static.dtw_pair_lens, w, D, K, rot,
-        )  # (B, P)
-        return jax.vmap(lambda s: _dtw_post(static, params, s))(sims_all)
-    # non-v3 paths (CPU tests, explicit fallback): identical per-stream code
+        means3 = sums / t_all[None, :, None, None].astype(jnp.float32)
+        gate_bounds = _avg_gate_bounds(static, params, a_lens)
+        sims3 = fused_dtw_chunk_v4(
+            win_t, new_t, means3, seq_a, tnorms, gate_bounds,
+            static.dtw_pair_lens, w, D, K, rot0,
+        )  # (B, 3, P)
+        return [
+            jax.vmap(lambda sm: _dtw_post(static, params, sm))(sims3[:, s])
+            for s in range(3)
+        ]
+    # fallback: per-shift virtual windows through the per-stream chain
+    # (exactly the single-stream numerics — CPU equivalence tests are strict)
     win_b = jnp.moveaxis(win_t, -1, 0)  # (B, F, C)
-    return jax.vmap(lambda w_: _dtw_scores(static, params, w_, rot))(win_b)
+    slots = jnp.mod(rot0 + 1 + jnp.arange(3, dtype=jnp.int32), F)
+    outs = []
+    virt = win_b
+    for s in range(3):
+        row = new_t[s].T[:, None, :]  # (B, 1, C)
+        virt = jax.vmap(
+            lambda wv, r: jax.lax.dynamic_update_slice(wv, r, (slots[s], 0))
+        )(virt, row)
+        rot_s = jnp.mod(rot0 + s + 1, F)
+        outs.append(
+            jax.vmap(lambda wv: _dtw_scores(static, params, wv, rot_s))(virt)
+        )
+    return outs
 
 
-def _nn_scores_batched(static: StepStatic, params: StepParams,
-                       win_t: jnp.ndarray, rot: jnp.ndarray, j: int):
-    """Batched NN scoring from win_t (F, C, B). The first layer folds both
-    the circular rotation (rotated, zero-padded weights — see
-    _nn_scores_one) and the CMN subtraction into MXU contractions:
-      dot(x - mean, W) = dot(x, W) - dot(mean, sum_f W[f])
-    where sum_f of the rotated+padded weights equals the static per-coeff
-    column sums of the original weights (rotation permutes, padding adds
-    zeros). No (F, C, B) normalized-window materialization. The label/score
-    logic is the SAME per-stream function (_nn_post), vmapped."""
+def _nn_scores_chunk(static: StepStatic, params: StepParams,
+                     win_t: jnp.ndarray, new_t: jnp.ndarray,
+                     rot0: jnp.ndarray, j: int):
+    """NN det_outs for all 3 shifts of a chunk, from the virtual windows.
+
+    The first layer folds the circular rotation (rotated, zero-padded
+    weights — see _nn_scores_one) and the CMN subtraction into MXU
+    contractions:
+      dot(x - mean, W) = dot(x, W) - dot(mean, sum_f W[f]).
+    All 3 shifts contract against the PRE-chunk window in one GEMM
+    ((3·h1, F·C) @ (F·C, B) — one window read per chunk, VERDICT r3
+    next#3); the new rows enter as rank-1 corrections
+    W_row · (new - old_row) at their logical positions, which are
+    compile-time constants. The tail layers run on the 3 shifts merged
+    into one (h, 3B) batch. Returns a list of 3 per-shift tuples."""
     meta = static.nn_meta[j]
     ts = meta.train_size
     C = static.mfcc_size
     F = win_t.shape[0]
-    idx = jnp.arange(F, dtype=jnp.int32)
-    lmask = (jnp.mod(idx - rot - 1, F) < ts).astype(jnp.float32)
-    mean = jnp.einsum(
-        "f,fcb->cb", lmask, win_t, precision=nn_mod._PRECISION
-    ) / jnp.float32(ts)  # (C, B)
+    B = win_t.shape[2]
+    prec = nn_mod._PRECISION_SERVING
+    slots = jnp.mod(rot0 + 1 + jnp.arange(3, dtype=jnp.int32), F)
+    t_one = jnp.full((1,), ts, jnp.int32)
+    maskA, maskB = _chunk_slot_masks(F, t_one, rot0)
     w1, b1 = params.nn_params[j][0]  # (h1, ts*C)
     h1 = w1.shape[0]
     w1f = w1.reshape(h1, ts, C)
     w1p = jnp.pad(w1f, ((0, 0), (0, F - ts), (0, 0)))
-    w1r = jnp.roll(w1p, rot + 1, axis=1)  # (h1, F, C)
-    wsum = jnp.sum(w1f, axis=1)  # (h1, C), rotation-invariant
-    hid = (
-        jnp.einsum("hfc,fcb->hb", w1r, win_t, precision=nn_mod._PRECISION)
-        - jnp.matmul(wsum, mean, precision=nn_mod._PRECISION)
-        + b1[:, None]
-    )  # (h1, B)
-    x = hid
+    # rotation via dynamic_slice on doubled weights: roll(w1p, r) ==
+    # w2[:, F - (r mod F) :][:F] — a traced-shift jnp.roll lowers to a
+    # serializing gather (measured 282 us/chunk at nn_medium shapes)
+    w2 = jnp.concatenate([w1p, w1p], axis=1)  # (h1, 2F, C)
+    w1r3 = jnp.stack([
+        jax.lax.dynamic_slice(
+            w2, (0, F - jnp.mod(rot0 + 2 + s, F), 0), (h1, F, C)
+        )
+        for s in range(3)
+    ])  # (3, h1, F, C)
+    # fold the CMN mean over the OLD-window rows into the weights:
+    #   dot(W, x) - wsum·mean = dot(W - wsum⊗maskA/ts, x) - wsum·mean_new
+    # so the window is contracted ONCE per chunk (the separate mean einsum
+    # was a second full-window HBM pass)
+    wsum = jnp.sum(w1f, axis=1)  # (h1, C)
+    w1m3 = w1r3 - (
+        wsum[None, :, None, :] * maskA[:, 0, :, None, None].transpose(0, 2, 1, 3)
+        / jnp.float32(ts)
+    )
+    main = jnp.einsum("shfc,fcb->shb", w1m3, win_t, precision=prec)
+    corr = [jnp.zeros((h1, B), jnp.float32) for _ in range(3)]
+    for s in range(3):
+        for j0 in range(s + 1):
+            L_ = F - (s + 1) + j0  # logical position — static
+            if L_ < ts:
+                old = jax.lax.dynamic_slice(
+                    win_t, (slots[j0], 0, 0), (1, C, B)
+                )[0]  # (C, B)
+                corr[s] = corr[s] + jnp.matmul(
+                    w1f[:, L_, :], new_t[j0] - old, precision=prec
+                )
+    # new-row part of the CMN mean (the old-row part is folded above)
+    mean_new = jnp.einsum(
+        "sj,jcb->scb", maskB[:, 0], new_t, precision=prec
+    ) / jnp.float32(ts)  # (3, C, B)
+    hid3 = (
+        main + jnp.stack(corr)
+        - jnp.einsum("hc,scb->shb", wsum, mean_new, precision=prec)
+        + b1[None, :, None]
+    )  # (3, h1, B)
+    x = jnp.transpose(hid3, (1, 0, 2)).reshape(h1, 3 * B)
     for wl, bl in params.nn_params[j][1:]:
         x = jax.nn.relu(x)
-        x = jnp.matmul(wl, x, precision=nn_mod._PRECISION) + bl[:, None]
-    logits = x.T  # (B, labels)
-    return jax.vmap(lambda lg: _nn_post(static, params, lg, j))(logits)
+        x = jnp.matmul(wl, x, precision=prec) + bl[:, None]
+    logits3 = x.reshape(-1, 3, B)  # (labels, 3, B)
+    return [
+        jax.vmap(lambda lg: _nn_post(static, params, lg, j))(logits3[:, s].T)
+        for s in range(3)
+    ]
 
 
-def run_wakeword_detectors_batched(static: StepStatic, params: StepParams,
-                                   win_t: jnp.ndarray, rot: jnp.ndarray):
-    """Batched analogue of run_wakeword_detectors: (B,)-shaped best-candidate
-    selection with the same argmax/one-hot semantics."""
-    det_list, score_list, avg_list, scores_list = [], [], [], []
-    if static.n_dtw:
-        d, s, a, m = _dtw_scores_batched(static, params, win_t, rot)
-        det_list.append(d)
-        score_list.append(s)
-        avg_list.append(a)
-        scores_list.append(m)
-    for j in range(len(static.nn_meta)):
-        d, s, a, v = _nn_scores_batched(static, params, win_t, rot, j)
-        det_list.append(d[:, None])
-        score_list.append(s[:, None])
-        avg_list.append(a[:, None])
-        scores_list.append(v[:, None, :])
+def _combine_batched(det_list, score_list, avg_list, scores_list):
+    """Best-candidate selection over the wakeword axis, batched on streams —
+    same argmax/one-hot semantics as run_wakeword_detectors."""
     detected = jnp.concatenate(det_list, axis=1)  # (B, W)
     score = jnp.concatenate(score_list, axis=1)
     avg = jnp.concatenate(avg_list, axis=1)
@@ -706,16 +809,47 @@ def run_wakeword_detectors_batched(static: StepStatic, params: StepParams,
     return any_det, best, score_best, avg_best, scores_best
 
 
+def run_wakeword_detectors_chunk(static: StepStatic, params: StepParams,
+                                 win_t: jnp.ndarray, new_t: jnp.ndarray,
+                                 rot0: jnp.ndarray):
+    """All wakewords × all 3 shifts → 3 per-shift det_out tuples
+    (parity: detector.rs:433-447 per shift)."""
+    per_shift = [([], [], [], []) for _ in range(3)]
+    if static.n_dtw:
+        for s, (d, sc, a, m) in enumerate(
+            _dtw_scores_chunk(static, params, win_t, new_t, rot0)
+        ):
+            per_shift[s][0].append(d)
+            per_shift[s][1].append(sc)
+            per_shift[s][2].append(a)
+            per_shift[s][3].append(m)
+    for j in range(len(static.nn_meta)):
+        for s, (d, sc, a, v) in enumerate(
+            _nn_scores_chunk(static, params, win_t, new_t, rot0, j)
+        ):
+            per_shift[s][0].append(d[:, None])
+            per_shift[s][1].append(sc[:, None])
+            per_shift[s][2].append(a[:, None])
+            per_shift[s][3].append(v[:, None, :])
+    return [_combine_batched(*lists) for lists in per_shift]
+
+
 def make_batched_chunk(static: StepStatic):
     """Build chunk(params, states, frames(B, input_samples)) -> (states,
     Event(B,)) for the batched serving runtime.
 
-    states.win is stored STREAM-MINOR: (F, C, B) — the fused kernel's native
-    layout — and is updated in place one (C, B) row per shift. Everything
-    except the window write and the wakeword scorers is the same per-stream
-    stage code as make_step, vmapped with the win leaf on axis 2 (untouched
-    pass-through) and the global rot cursor unbatched."""
+    states.win is stored STREAM-MINOR: (F, C, B) — the fused kernel's
+    native layout. The whole chunk is one traced program: batched MFCC for
+    the 3 frames, whole-chunk scoring against virtual windows (see the
+    section comment above), a statically-unrolled (B,)-scalar shift loop
+    for VAD/bookkeeping, then 3 unconditional row writes into the circular
+    window (masked-write equivalence argued in the section comment)."""
     F = static.max_mfcc_frames
+    if F < 3:
+        raise ValueError(
+            f"batched runtime requires max_mfcc_frames >= 3 (got {F})"
+        )
+    C = static.mfcc_size
     AX = StreamState(**{
         f: (None if f == "rot" else (2 if f == "win" else 0))
         for f in StreamState._fields
@@ -724,9 +858,9 @@ def make_batched_chunk(static: StepStatic):
         lambda p, s, x: prepare_chunk(static, p, s, x),
         in_axes=(None, AX, 0), out_axes=(AX, 0),
     )
-    vfront = jax.vmap(
-        lambda p, s, sh, act: shift_front(static, p, s, sh, act),
-        in_axes=(None, AX, 0, 0), out_axes=(AX, 0, 0, 0),
+    vcv = jax.vmap(
+        lambda s, mf, act: shift_count_vad(static, s, mf, act),
+        in_axes=(AX, 0, 0), out_axes=(AX, 0, 0),
     )
     vbook = jax.vmap(
         lambda p, s, run, det: detection_bookkeeping(static, p, s, run, det),
@@ -736,47 +870,61 @@ def make_batched_chunk(static: StepStatic):
     def chunk(params: StepParams, states: StreamState, frames: jnp.ndarray):
         B = frames.shape[0]
         states, shifts = vprep(params, states, frames)  # shifts (B, 3, 160)
-        shifts = jnp.moveaxis(shifts, 0, 1)  # (3, B, 160)
+        rot0 = states.rot
         slots = jnp.mod(
-            states.rot + 1 + jnp.arange(3, dtype=jnp.int32), jnp.int32(F)
+            rot0 + 1 + jnp.arange(3, dtype=jnp.int32), jnp.int32(F)
         )
-        event0 = jax.tree_util.tree_map(
+        # --- extractor trajectory + all 3 MFCCs in one GEMM chain. The
+        # buffer advances unconditionally (the reference extractor consumes
+        # all samples before find_map's short circuit, detector.rs:372-375;
+        # warm-up masking lives entirely in ext_count).
+        cat = jnp.concatenate(
+            [states.ext_buf, shifts.reshape(B, 3 * SAMPLES_PER_SHIFT)], axis=-1
+        )  # (B, 960)
+        bufs = jnp.stack(
+            [cat[:, 160:640], cat[:, 320:800], cat[:, 480:960]], axis=1
+        )  # (B, 3, 480)
+        consts = frontend.get_constants(C + 1)
+        mfcc3 = frontend.mfcc_from_frames(bufs, consts)  # (B, 3, C)
+        states = states._replace(ext_buf=cat[:, 480:])
+        new_t = jnp.transpose(mfcc3, (1, 2, 0))  # (3, C, B)
+
+        # --- whole-chunk scoring against the virtual windows
+        det_outs = run_wakeword_detectors_chunk(
+            static, params, states.win, new_t, rot0
+        )
+
+        # --- (B,)-scalar shift loop: fill counts, VAD, bookkeeping, halt
+        event = jax.tree_util.tree_map(
             lambda x: jnp.broadcast_to(x, (B,) + x.shape), _no_event(static)
         )
-        carry = (states, jnp.zeros((B,), bool), event0)
-
-        def body(carry, xs):
-            states, halted, ev0 = carry
-            shift_b, slot = xs
+        halted = jnp.zeros((B,), bool)
+        for s in range(3):
             active = ~halted
-            states, mfcc_b, emit_b, should_run_b = vfront(
-                params, states, shift_b, active
-            )
-            win = states.win  # (F, C, B)
-            old_row = jax.lax.dynamic_slice(
-                win, (slot, 0, 0), (1,) + win.shape[1:]
-            )[0]  # (C, B)
-            new_row = jnp.where(emit_b[None, :], mfcc_b.T, old_row)
-            win = jax.lax.dynamic_update_slice(win, new_row[None], (slot, 0, 0))
+            states, emit_b, should_run_b = vcv(states, mfcc3[:, s], active)
             win_count = jnp.where(
                 emit_b, jnp.minimum(states.win_count + 1, F), states.win_count
             )
-            states = states._replace(win=win, win_count=win_count, rot=slot)
-            det_out = run_wakeword_detectors_batched(static, params, win, slot)
+            states = states._replace(win_count=win_count)
             run = emit_b & (win_count >= F) & should_run_b
-            states, event = vbook(params, states, run, det_out)
-            fired = event.fired & active
-            event = event._replace(fired=fired)
-            out_event = jax.tree_util.tree_map(
+            states, ev = vbook(params, states, run, det_outs[s])
+            fired = ev.fired & active
+            ev = ev._replace(fired=fired)
+            event = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(
-                    ev0.fired.reshape((B,) + (1,) * (a.ndim - 1)), a, b
+                    event.fired.reshape((B,) + (1,) * (a.ndim - 1)), a, b
                 ),
-                ev0, event,
+                event, ev,
             )
-            return (states, halted | fired, out_event), None
+            halted = halted | fired
 
-        carry, _ = jax.lax.scan(body, carry, (shifts, slots))
-        states, _, event = carry
+        # --- circular-window writes (unconditional; see section comment)
+        win = states.win
+        for s in range(3):
+            win = jax.lax.dynamic_update_slice(
+                win, new_t[s][None], (slots[s], 0, 0)
+            )
+        states = states._replace(win=win, rot=slots[2])
         return states, event
 
     return chunk

@@ -18,12 +18,18 @@ import numpy as np
 from ..constants import MFCCS_EXTRACTOR_OUT_SHIFTS
 from .files import ModelType, TensorData
 
-# HIGH = 3-pass bf16 on the MXU (~1e-7 relative dot error) — comfortably
-# inside the NN path's measured tolerance band (docs/NN_EXACTNESS.md: the
-# waveform-noise floor alone moves ok_casa logits by +-8; the suite pins
-# counters +-1 / logits +-3). HIGHEST (6-pass) measured 2x the forward cost
-# at serving batch (tools/step_breakdown.py) for accuracy the band can't see.
-_PRECISION = jax.lax.Precision.HIGH
+# Two precision tiers (ADVICE r3):
+#   parity (single-stream goldens, offline forward): HIGHEST (6-pass bf16,
+#     effectively f32) — maximally comparable to the reference's f32 candle
+#     forward (wakeword_nn.rs:101-112);
+#   serving (batched runtime): HIGH (3-pass bf16, ~1e-7 relative dot error) —
+#     comfortably inside the NN path's measured tolerance band
+#     (docs/NN_EXACTNESS.md: the waveform-noise floor alone moves ok_casa
+#     logits by +-8; the suite pins counters +-1 / logits +-3). HIGHEST
+#     measured 2x the forward cost at serving batch (tools/step_breakdown.py)
+#     for accuracy the band can't see.
+_PRECISION = jax.lax.Precision.HIGHEST
+_PRECISION_SERVING = jax.lax.Precision.HIGH
 
 
 def layer_sizes(m_type: ModelType, input_size: int, mfcc_size: int, labels_size: int) -> List[int]:

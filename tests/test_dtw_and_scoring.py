@@ -193,3 +193,84 @@ def test_sort_network_matches_np_sort():
     # with INF padding (the padded-template case)
     x = np.where(rng.random((64, 5)) < 0.3, np.inf, rng.normal(size=(64, 5))).astype(np.float32)
     np.testing.assert_array_equal(np.asarray(sort_last_axis(jnp.asarray(x))), np.sort(x, axis=-1))
+
+
+def test_fused_v4_chunk_matches_per_shift_oracle():
+    """The whole-chunk v4 kernel (grid (tile, shift), virtual windows) must
+    reproduce, per shift, the scan-path oracle run on the materialized
+    virtual window of that shift — including F > Lm (mixed-config window
+    longer than the largest template), a nontrivial circular cursor, and
+    the per-(shift, wakeword) gate skip."""
+    from rustpotter_tpu.ops.fused_dtw import fused_dtw_chunk_v4
+
+    rng = np.random.default_rng(6)
+    D, K = 2, 2
+    P = D * K + D
+    B, Lm, C, w = 30, 40, 8, 5
+    for F in (Lm, Lm + 2, Lm + 9):
+        lens = (40, 31, 28, 37) + (35, 40)
+        win_t = rng.normal(0, 1, (F, C, B)).astype(np.float32)  # circular
+        new_t = rng.normal(0, 1, (3, C, B)).astype(np.float32)
+        templates = rng.normal(0, 1, (P, Lm, C)).astype(np.float32)
+        tnorms = np.sum(templates**2, axis=-1).astype(np.float32)
+        means3 = rng.normal(0, 0.2, (3, P, C, B)).astype(np.float32)
+        rot0 = F - 2  # wrap-around exercised
+
+        # oracle: materialize each shift's virtual window, then scan-path DP
+        oracle = np.zeros((B, 3, P), np.float32)
+        virt = win_t.copy()
+        for s in range(3):
+            ns = s + 1
+            slot = (rot0 + 1 + s) % F
+            virt[slot] = new_t[s]
+            rot_s = (rot0 + ns) % F
+            # linearize: logical i at physical (rot_s + 1 + i) % F
+            order = [(rot_s + 1 + i) % F for i in range(Lm)]
+            lin = np.transpose(virt[order], (2, 0, 1))  # (B, Lm, C)
+            # (B, P, Lm, C): per-pair CMN-normalized virtual window
+            normwin = lin[:, None, :, :] - np.transpose(
+                means3[s], (2, 0, 1)
+            )[:, :, None, :]
+            costs = band_costs(
+                jnp.asarray(
+                    np.broadcast_to(templates, (B, P, Lm, C))
+                ).reshape(B * P, Lm, C),
+                jnp.asarray(normwin).reshape(B * P, Lm, C),
+                w,
+            )
+            lens_b = jnp.asarray(
+                np.broadcast_to(np.array(lens, np.int32), (B, P)).reshape(-1)
+            )
+            oracle[:, s] = np.asarray(
+                banded_dtw_batch(costs, lens_b, w)
+            ).reshape(B, P)
+
+        no_gate = jnp.full((D,), np.inf, jnp.float32)
+        got = np.asarray(
+            fused_dtw_chunk_v4(
+                jnp.asarray(win_t), jnp.asarray(new_t), jnp.asarray(means3),
+                jnp.asarray(templates), jnp.asarray(tnorms), no_gate,
+                lens, w, D, K, rot0, interpret=True,
+            )
+        )
+        np.testing.assert_allclose(got, oracle, rtol=3e-6, atol=2e-4,
+                                   err_msg=f"F={F}")
+
+        # gate wakeword 0 out with a bound below every stream's avg sim at
+        # every shift; wakeword 1 stays open — template sims must be +inf
+        # for ww0 only, avg sims exact everywhere
+        bound = jnp.asarray(
+            [float(oracle[:, :, D * K + 0].min()) - 1.0, np.inf], jnp.float32
+        )
+        gated = np.asarray(
+            fused_dtw_chunk_v4(
+                jnp.asarray(win_t), jnp.asarray(new_t), jnp.asarray(means3),
+                jnp.asarray(templates), jnp.asarray(tnorms), bound,
+                lens, w, D, K, rot0, interpret=True,
+            )
+        )
+        assert np.all(np.isinf(gated[:, :, 0:K])), f"F={F}"
+        np.testing.assert_allclose(
+            gated[:, :, K:], oracle[:, :, K:], rtol=3e-6, atol=2e-4,
+            err_msg=f"F={F}",
+        )
