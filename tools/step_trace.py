@@ -49,11 +49,15 @@ def main():
     frames = jnp.asarray(rng.normal(0, 0.05, (B, 480)).astype(np.float32))
     states = det.init_states()
 
-    def stepfn(states):
-        s, _ = det.process_chunk(det.params, states, frames)
-        return s
+    # states are DONATED by process_chunk — rebind through a holder so the
+    # traced loop never re-passes a consumed buffer
+    holder = {"s": states}
 
-    res = trace_kernel_us(stepfn, (states,), 20, top=30)
+    def stepfn():
+        holder["s"], _ = det.process_chunk(det.params, holder["s"], frames)
+        return holder["s"]
+
+    res = trace_kernel_us(stepfn, (), 20, top=30)
     total = 0.0
     print(f"scenario={scenario} B={B} — top device ops, us per step:")
     for name, us in res.items():

@@ -111,6 +111,77 @@ def main():
     )
     np.testing.assert_array_equal(g2, v3)
     print("4. v3 gating semantics on Mosaic OK")
+
+    # 5. whole-chunk v4 kernel (grid (tile, shift), virtual windows) at the
+    # bench shape with a wrap-around cursor, vs the per-shift scan oracle
+    from rustpotter_tpu.ops.fused_dtw import fused_dtw_chunk_v4
+
+    F = Lm
+    rot0 = F - 2
+    win_t = jnp.asarray(rng.normal(0, 1, (F, C, B)).astype(np.float32))
+    new_t = jnp.asarray(rng.normal(0, 1, (3, C, B)).astype(np.float32))
+    means3 = jnp.asarray(rng.normal(0, 0.2, (3, P, C, B)).astype(np.float32))
+    v4 = np.asarray(
+        jax.jit(
+            lambda w_, n_, m_: fused_dtw_chunk_v4(
+                w_, n_, m_, templates, tnorms, inf_b, lens, w, D, K, rot0
+            )
+        )(win_t, new_t, means3)
+    )  # (B, 3, P)
+    virt = np.asarray(win_t).copy()
+    for s in range(3):
+        slot = (rot0 + 1 + s) % F
+        virt[slot] = np.asarray(new_t)[s]
+        rot_s = (rot0 + s + 1) % F
+        order = [(rot_s + 1 + i) % F for i in range(Lm)]
+        lin = np.transpose(virt[order], (2, 0, 1))  # (B, Lm, C)
+        nw = lin[:, None, :, :] - np.transpose(np.asarray(means3)[s], (2, 0, 1))[:, :, None, :]
+        cc = band_costs(
+            jnp.asarray(np.broadcast_to(np.asarray(templates), (B, P, Lm, C))).reshape(B * P, Lm, C),
+            jnp.asarray(nw).reshape(B * P, Lm, C),
+            w,
+        )
+        osh = np.asarray(banded_dtw_batch(cc, lens_b, w)).reshape(B, P)
+        np.testing.assert_allclose(v4[:, s], osh, rtol=3e-6, atol=2e-4)
+    print("5. whole-chunk v4 vs per-shift scan oracle OK")
+
+    # 6. v4 at the dtw_many group shape (one wakeword, K=10, B=4096 — the
+    # chunked fallback the batched runtime takes past the SMEM guard)
+    B6 = min(B, 4096)
+    lens6 = tuple(100 - 2 * (i % 5) for i in range(10)) + (100,)
+    P6, D6, K6 = 11, 1, 10
+    t6 = jnp.asarray(rng.normal(0, 1, (P6, Lm, C)).astype(np.float32))
+    n6 = jnp.sum(t6 * t6, axis=-1)
+    w6 = jnp.asarray(rng.normal(0, 1, (F, C, B6)).astype(np.float32))
+    nw6 = jnp.asarray(rng.normal(0, 1, (3, C, B6)).astype(np.float32))
+    m6 = jnp.asarray(rng.normal(0, 0.2, (3, P6, C, B6)).astype(np.float32))
+    v4b = np.asarray(
+        jax.jit(
+            lambda a, b_, c: fused_dtw_chunk_v4(
+                a, b_, c, t6, n6, jnp.full((1,), np.inf, jnp.float32),
+                lens6, w, D6, K6, rot0
+            )
+        )(w6, nw6, m6)
+    )
+    virt6 = np.asarray(w6).copy()
+    lens6_b = jnp.asarray(
+        np.broadcast_to(np.asarray(lens6, np.int32), (B6, P6)).reshape(-1)
+    )
+    for s in range(3):
+        slot = (rot0 + 1 + s) % F
+        virt6[slot] = np.asarray(nw6)[s]
+        rot_s = (rot0 + s + 1) % F
+        order = [(rot_s + 1 + i) % F for i in range(Lm)]
+        lin = np.transpose(virt6[order], (2, 0, 1))
+        nw_ = lin[:, None, :, :] - np.transpose(np.asarray(m6)[s], (2, 0, 1))[:, :, None, :]
+        cc = band_costs(
+            jnp.asarray(np.broadcast_to(np.asarray(t6), (B6, P6, Lm, C))).reshape(B6 * P6, Lm, C),
+            jnp.asarray(nw_).reshape(B6 * P6, Lm, C),
+            w,
+        )
+        osh = np.asarray(banded_dtw_batch(cc, lens6_b, w)).reshape(B6, P6)
+        np.testing.assert_allclose(v4b[:, s], osh, rtol=3e-6, atol=2e-4)
+    print("6. v4 at the dtw_many group shape (P=11) OK")
     print(f"KERNEL PARITY OK on {jax.default_backend()} B={B}")
 
 
