@@ -127,6 +127,12 @@ def timed_loop(det, jax, states, frames, T, seq=1):
 def main():
     import jax
 
+    # the axon sitecustomize ignores the JAX_PLATFORMS env var; honor it
+    # explicitly so `JAX_PLATFORMS=cpu bench.py --mesh 8` works on the
+    # virtual CPU mesh (docs/MULTIHOST.md)
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
     os.makedirs(cache_dir, exist_ok=True)
     try:
@@ -146,9 +152,11 @@ def main():
 
     B = int(os.environ.get("BENCH_STREAMS", "8192"))
     T = int(os.environ.get("BENCH_CHUNKS", "34"))  # ~1 s of audio per stream
-    # chunks per dispatch (see timed_loop): default 4 = 120 ms dispatch
-    # granularity, amortizing the bench tunnel's per-dispatch RPC overhead
-    SEQ = int(os.environ.get("BENCH_SEQ", "4"))
+    # chunks per dispatch (see timed_loop): default 8 = 240 ms dispatch
+    # granularity. The bench tunnel adds ~3.7 ms of RPC overhead per
+    # dispatch that a colocated serving host does not see (device-op time
+    # per chunk is unchanged — tools/step_trace.py); grouping amortizes it.
+    SEQ = int(os.environ.get("BENCH_SEQ", "8"))
 
     ww, utterance = build_bench_wakeword()
     cfg = RustpotterConfig()

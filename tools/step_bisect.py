@@ -28,10 +28,10 @@ import numpy as np
 def timeit_chained(det, states, frames, n):
     import jax
 
-    s, _ = det.process_chunk(det.params, states, frames)
-    jax.block_until_ready(s)
+    # states are DONATED by process_chunk — chain through the returned state
+    ss, _ = det.process_chunk(det.params, states, frames)
+    jax.block_until_ready(ss)
     t0 = time.perf_counter()
-    ss = states
     for _ in range(n):
         ss, _ = det.process_chunk(det.params, ss, frames)
     jax.block_until_ready(ss)

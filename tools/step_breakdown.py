@@ -114,13 +114,14 @@ def main():
         ("mixed", [("w", _dtw_wakeword()), ("m", _nn_wakeword())]),
     ]:
         det = BatchedDetector(wws, cfg, batch_size=B)
-        states = det.init_states()
+        # states are DONATED by process_chunk — chain through a holder
+        holder = {"s": det.init_states()}
 
-        def stepfn(states, frames):
-            s, _ = det.process_chunk(det.params, states, frames)
-            return s
+        def stepfn(frames):
+            holder["s"], _ = det.process_chunk(det.params, holder["s"], frames)
+            return holder["s"]
 
-        ms = timeit(stepfn, states, frames)
+        ms = timeit(stepfn, frames)
         print(f"  full step [{name}]: {ms:7.3f}  -> {B*0.03/(ms/1e3):8.0f} streams rt")
 
 

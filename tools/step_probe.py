@@ -50,12 +50,12 @@ def main():
     frames = jnp.asarray(rng.normal(0, 0.05, (B, 480)).astype(np.float32))
     states = det.init_states()
     t0 = time.perf_counter()
-    states2, _ = det.process_chunk(det.params, states, frames)
-    jax.block_until_ready(states2)
+    # states are DONATED — keep chaining through the returned state
+    s, _ = det.process_chunk(det.params, states, frames)
+    jax.block_until_ready(s)
     print(f"first call (trace+compile+run): {time.perf_counter() - t0:.1f}s", flush=True)
 
     t0 = time.perf_counter()
-    s = states
     for _ in range(N):
         s, ev = det.process_chunk(det.params, s, frames)
     jax.block_until_ready(s)
