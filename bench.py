@@ -127,11 +127,13 @@ def timed_loop(det, jax, states, frames, T, seq=1):
 def main():
     import jax
 
-    # the axon sitecustomize ignores the JAX_PLATFORMS env var; honor it
-    # explicitly so `JAX_PLATFORMS=cpu bench.py --mesh 8` works on the
-    # virtual CPU mesh (docs/MULTIHOST.md)
-    if os.environ.get("JAX_PLATFORMS"):
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    # the axon sitecustomize ignores the JAX_PLATFORMS env var; honor an
+    # explicit =cpu request so `JAX_PLATFORMS=cpu bench.py --mesh 8` works
+    # on the virtual CPU mesh (docs/MULTIHOST.md). Other values are left to
+    # the sitecustomize — forcing 'axon' here would also hide the cpu
+    # backend that build_bench_wakeword uses for host-side MFCCs.
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
     os.makedirs(cache_dir, exist_ok=True)
