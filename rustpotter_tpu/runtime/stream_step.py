@@ -630,7 +630,7 @@ def _chunk_slot_masks(F: int, t_all: jnp.ndarray, rot0: jnp.ndarray):
     covered = lidx[:, None, :] < t_all[None, :, None]  # (3, P, F)
     slots = jnp.mod(rot0 + 1 + jnp.arange(3, dtype=jnp.int32), F)  # (3,)
     jn = jnp.arange(3, dtype=jnp.int32)
-    # slot j (written at shift j) is superseded at shifts s >= j
+    # slot jn (written at shift jn+1, 1-based ns) is superseded at ns >= jn+1
     superseded = jnp.any(
         (idx[None, None, :] == slots[None, :, None])
         & (ns[:, None, None] >= (jn + 1)[None, :, None]),
@@ -675,23 +675,31 @@ def _dtw_scores_chunk(static: StepStatic, params: StepParams,
     from ..ops.dtw_dispatch import use_pallas
     fused = static.dtw_fused if static.dtw_fused is not None else use_pallas()
     if fused and static.dtw_fused_variant >= 3:
-        from ..ops.fused_dtw import fused_dtw_chunk_v4
+        from ..ops.fused_dtw import fused_dtw_chunk_v4_tiled, tile_streams
 
         B = win_t.shape[2]
         t_all = jnp.concatenate([t_lens.reshape(-1), a_lens])  # (P,)
         maskA, maskB = _chunk_slot_masks(F, t_all, rot0)
+        # tile ONCE; the means/dotm einsums then produce the kernel's tiled
+        # layout directly (untiled outputs forced XLA into full-size
+        # relayout copies: 52 MB for the window's einsum layout + 59 MB for
+        # dotm — ~300 us/chunk of pure copy traffic in the r4 HLO)
+        win5 = tile_streams(win_t, B)
+        new5 = tile_streams(new_t, B)
         sums = jnp.einsum(
-            "spf,fcb->spcb", maskA, win_t, precision=jax.lax.Precision.HIGHEST
+            "spf,fcguv->spcguv", maskA, win5,
+            precision=jax.lax.Precision.HIGHEST,
         ) + jnp.einsum(
-            "spj,jcb->spcb", maskB, new_t, precision=jax.lax.Precision.HIGHEST
+            "spj,jcguv->spcguv", maskB, new5,
+            precision=jax.lax.Precision.HIGHEST,
         )
-        means3 = sums / t_all[None, :, None, None].astype(jnp.float32)
+        means5 = sums / t_all[None, :, None, None, None, None].astype(jnp.float32)
         gate_bounds = _avg_gate_bounds(static, params, a_lens)
         smem_budget = 256 * 1024  # template scalars live in SMEM (v3/v4)
         if (D * K + D) * Lm * C * 4 <= smem_budget:
-            sims3 = fused_dtw_chunk_v4(
-                win_t, new_t, means3, seq_a, tnorms, gate_bounds,
-                static.dtw_pair_lens, w, D, K, rot0,
+            sims3 = fused_dtw_chunk_v4_tiled(
+                win5, new5, means5, seq_a, tnorms, gate_bounds,
+                static.dtw_pair_lens, w, D, K, rot0, B,
             )  # (B, 3, P)
         else:
             # big template sets: per-wakeword calls, K chunked so each
@@ -705,11 +713,11 @@ def _dtw_scores_chunk(static: StepStatic, params: StepParams,
                     kn = min(kc, K - k0)
                     idx = tuple(range(d * K + k0, d * K + k0 + kn)) + (D * K + d,)
                     ia = jnp.asarray(idx)
-                    sims_g = fused_dtw_chunk_v4(
-                        win_t, new_t, means3[:, ia], seq_a[ia, :, :],
+                    sims_g = fused_dtw_chunk_v4_tiled(
+                        win5, new5, means5[:, ia], seq_a[ia, :, :],
                         tnorms[ia, :], gate_bounds[d:d + 1],
                         tuple(static.dtw_pair_lens[i] for i in idx),
-                        w, 1, kn, rot0,
+                        w, 1, kn, rot0, B,
                     )  # (B, 3, kn + 1)
                     sims3 = sims3.at[:, :, d * K + k0:d * K + k0 + kn].set(
                         sims_g[:, :, :kn]

@@ -314,9 +314,9 @@ def test_chunk_group_split_matches_fallback(monkeypatch):
     rot0 = jnp.asarray(F - 2, jnp.int32)
 
     # interpret-mode kernels so the grouped path runs on CPU
-    real_v4 = fd.fused_dtw_chunk_v4
+    real_v4 = fd.fused_dtw_chunk_v4_tiled
     monkeypatch.setattr(
-        fd, "fused_dtw_chunk_v4",
+        fd, "fused_dtw_chunk_v4_tiled",
         lambda *a, **k: real_v4(*a, **{**k, "interpret": True}),
     )
     grouped_static = static.__class__(**{**static.__dict__, "dtw_fused": True})
