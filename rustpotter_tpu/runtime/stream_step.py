@@ -686,12 +686,16 @@ def _dtw_scores_chunk(static: StepStatic, params: StepParams,
         # dotm — ~300 us/chunk of pure copy traffic in the r4 HLO)
         win5 = tile_streams(win_t, B)
         new5 = tile_streams(new_t, B)
+        # HIGH (3-pass bf16, ~1e-7 relative) on the serving means: the
+        # effect on scores is ~1e-6 — far inside the documented
+        # fused-vs-unfused band (1.5e-5) and the gate margin (1e-4 rel);
+        # the single-stream parity path keeps HIGHEST (_dtw_scores)
         sums = jnp.einsum(
             "spf,fcguv->spcguv", maskA, win5,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=jax.lax.Precision.HIGH,
         ) + jnp.einsum(
             "spj,jcguv->spcguv", maskB, new5,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=jax.lax.Precision.HIGH,
         )
         means5 = sums / t_all[None, :, None, None, None, None].astype(jnp.float32)
         gate_bounds = _avg_gate_bounds(static, params, a_lens)
@@ -792,6 +796,11 @@ def _nn_scores_chunk(static: StepStatic, params: StepParams,
         wsum[None, :, None, :] * maskA[:, 0, :, None, None].transpose(0, 2, 1, 3)
         / jnp.float32(ts)
     )
+    # NOTE: contracting against the tiled window here (sharing the DTW
+    # kernel's layout) was measured 1.8x SLOWER (949 -> 1700 us/chunk at
+    # nn_medium) — the (3, h1, g, 8, 128) einsum output layout defeats the
+    # single big GEMM. The raw (F, C, B) contraction wins even when a mixed
+    # config pays one extra window relayout.
     main = jnp.einsum("shfc,fcb->shb", w1m3, win_t, precision=prec)
     corr = [jnp.zeros((h1, B), jnp.float32) for _ in range(3)]
     for s in range(3):

@@ -5,7 +5,7 @@ duration. Wall-clock async loops through the axon tunnel are NOT trustworthy
 (dispatch pipelining/result caching can hide device time entirely); the trace
 is ground truth.
 
-Usage: python tools/kernel_probe.py [B] [iters]
+Usage: python tools/kernel_probe.py [B] [iters] [--v1|--v2|--v4] [--gate] [--jch=N]
 """
 from __future__ import annotations
 
@@ -57,7 +57,7 @@ def main():
     opts = [a for a in sys.argv[1:] if a.startswith("--")]
     B = int(args[0]) if len(args) > 0 else 8192
     N = int(args[1]) if len(args) > 1 else 20
-    variant = 1 if "--v1" in opts else (2 if "--v2" in opts else 3)
+    variant = 1 if "--v1" in opts else (2 if "--v2" in opts else (4 if "--v4" in opts else 3))
     gate = "--gate" in opts  # v3: bound that no random stream passes
     jch = 5
     for o in opts:
@@ -66,7 +66,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from rustpotter_tpu.ops.fused_dtw import fused_dtw_batch, fused_dtw_batch_v3
+    from rustpotter_tpu.ops.fused_dtw import (
+        fused_dtw_batch, fused_dtw_batch_v3, fused_dtw_chunk_v4,
+    )
 
     rng = np.random.default_rng(0)
     Lm, C, w = 100, 16, 5
@@ -78,6 +80,23 @@ def main():
     means = jnp.asarray(rng.normal(0, 0.2, (B, P, C)).astype(np.float32))
     templates = jnp.asarray(rng.normal(0, 1, (P, Lm, C)).astype(np.float32))
     tnorms = jnp.sum(templates * templates, axis=-1)
+
+    if variant == 4:
+        # whole-chunk kernel: reported time covers all 3 shifts
+        bounds = jnp.asarray([-1.0 if gate else np.inf], jnp.float32)
+        win_t = jnp.transpose(win, (1, 2, 0))
+        new_t = jnp.asarray(rng.normal(0, 1, (3, C, B)).astype(np.float32))
+        means3 = jnp.asarray(rng.normal(0, 0.2, (3, P, C, B)).astype(np.float32))
+        fn = jax.jit(
+            lambda w_, n_, m_: fused_dtw_chunk_v4(
+                w_, n_, m_, templates, tnorms, bounds, lens, w, D, K,
+                jnp.int32(Lm - 2), jch=jch,
+            )
+        )
+        print(f"variant=4 jch={jch} B={B} gate={gate} (time = 3 shifts)")
+        for name, us in trace_kernel_us(fn, (win_t, new_t, means3), N).items():
+            print(f"{us:10.1f} us/call  {name[:90]}")
+        return
 
     if variant == 3:
         bounds = jnp.asarray([-1.0 if gate else np.inf], jnp.float32)

@@ -84,6 +84,52 @@ def main():
     for (s, a, c), (gs, ga) in zip(got, golden):
         assert abs(s - gs) < 2e-4, (s, gs)
         assert abs(a - ga) < 2e-4, (a, ga)
+    # --- phase 2: NN batched path on-chip (ok_casa-tiny, 48 kHz recording
+    # resampled host-side through the f32 oracle resampler). The exact
+    # emitted window is argmax-noise-sensitive (docs/NN_EXACTNESS.md), so
+    # the on-chip contract is: one detection, right label, score in the
+    # golden band, counter within the documented ±2, and every stream
+    # bit-identical to stream 0.
+    from rustpotter_tpu.audio.encoder import AudioEncoder
+    from rustpotter_tpu.config import AudioFmt, SampleFormat
+    from rustpotter_tpu.utils.wav import read_wav
+
+    nn = load_wakeword(os.path.join(RES, "ok_casa-tiny.rpw"))
+    wav, spec = read_wav(os.path.join(RES, "ok_casa.wav"))
+    fmt = AudioFmt(
+        sample_rate=spec.sample_rate, sample_format=SampleFormat.F32, channels=1
+    )
+    enc = AudioEncoder(fmt, 30, 16000)
+    stream = np.concatenate(
+        [wav.astype(np.float32), np.zeros(spec.sample_rate * 5, np.float32)]
+    )
+    n_in = enc.input_samples_per_frame
+    nch = len(stream) // n_in
+    frames16 = np.concatenate([
+        enc.rencode_and_resample(stream[i * n_in:(i + 1) * n_in])
+        for i in range(nch)
+    ]).reshape(-1, 480)
+
+    cfg2 = RustpotterConfig()
+    cfg2.detector.avg_threshold = 0.0
+    det2 = BatchedDetector([("ok_casa", nn)], cfg2, batch_size=B)
+    st2 = det2.init_states()
+    batch2 = jnp.broadcast_to(
+        jnp.asarray(frames16)[:, None, :], (len(frames16), B, 480)
+    )
+    st2, ev2 = det2.process_sequence(det2.params, st2, batch2)
+    fired2 = np.asarray(ev2.fired)
+    assert (fired2 == fired2[:, :1]).all(), "NN streams disagree on fired"
+    assert (np.asarray(ev2.score) == np.asarray(ev2.score)[:, :1]).all()
+    t2 = np.nonzero(fired2[:, 0])[0]
+    assert len(t2) == 1, f"NN path: expected 1 detection, got {len(t2)}"
+    s2 = float(np.asarray(ev2.score)[t2[0], 0])
+    c2 = int(np.asarray(ev2.counter)[t2[0], 0])
+    ww2 = int(np.asarray(ev2.ww)[t2[0], 0])
+    print(f"NN detection: score {s2:.7f} counter {c2} ww {ww2}")
+    assert ww2 == 0 and abs(s2 - 0.9997649) < 1e-3 and abs(c2 - 34) <= 2, (
+        s2, c2, ww2
+    )
     print(f"PARITY OK on {jax.default_backend()} B={B} "
           f"(fused={os.environ.get('RUSTPOTTER_FUSED', '1')})")
 
