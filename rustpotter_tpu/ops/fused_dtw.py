@@ -649,9 +649,16 @@ def fused_dtw_chunk_v4_tiled(
     # dot(T'[r], m) per (shift, pair, row, stream): one MXU einsum per chunk
     # (hoisted across the 3 shifts — VERDICT r3 next#1a), computed straight
     # in the tiled layout so no relayout copy materializes
+    # PRECISION CONSTRAINT (found the hard way, round 4): the kernel
+    # computes cost = 1 - (dot - dotm)·rwn with rwn = 1/|W - m|. On
+    # near-constant (silence) windows |W - m| ~ 1e-4, so dotm's ABSOLUTE
+    # error is amplified ~1e4x into the cosine. HIGH (3-pass bf16,
+    # ~3e-4 abs at these magnitudes) turned 5 s of silence into
+    # score-0.9999 false detections on-chip (caught by tools/tpu_parity.py);
+    # HIGHEST (~1.3e-6 abs) matches the in-kernel f32 dot's accuracy.
     dotm5 = jnp.einsum(
         "plc,spcguv->splguv", templates, means5,
-        precision=jax.lax.Precision.HIGH,
+        precision=jax.lax.Precision.HIGHEST,
     )  # (3, P, Lm, g, 8, 128) — HIGH: ~1e-7 relative on dotm, ~1e-6 on
     # scores via (dot - dotm)·rwn; inside every documented tolerance band
     lens_arr = jnp.concatenate([

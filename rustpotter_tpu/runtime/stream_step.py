@@ -686,10 +686,15 @@ def _dtw_scores_chunk(static: StepStatic, params: StepParams,
         # dotm — ~300 us/chunk of pure copy traffic in the r4 HLO)
         win5 = tile_streams(win_t, B)
         new5 = tile_streams(new_t, B)
-        # HIGH (3-pass bf16, ~1e-7 relative) on the serving means: the
-        # effect on scores is ~1e-6 — far inside the documented
-        # fused-vs-unfused band (1.5e-5) and the gate margin (1e-4 rel);
-        # the single-stream parity path keeps HIGHEST (_dtw_scores)
+        # HIGH (3-pass bf16) on the serving means: mean error ~2.6e-6
+        # absolute. Unlike dotm (which must be HIGHEST — see the precision
+        # constraint note in fused_dtw_chunk_v4_tiled), mean error enters
+        # rwn = 1/|W - m| as a RELATIVE perturbation of the cosine (a
+        # cosine stays a cosine), so silence windows cannot manufacture
+        # detections; word-window scores move ~1e-6, inside the documented
+        # fused-vs-unfused band. On-chip golden e2e verified with this
+        # setting (tools/tpu_parity.py). Single-stream parity path keeps
+        # HIGHEST (_dtw_scores).
         sums = jnp.einsum(
             "spf,fcguv->spcguv", maskA, win5,
             precision=jax.lax.Precision.HIGH,

@@ -10,8 +10,8 @@ per-path regressions are visible:
   dtw_10k      10 240 streams single chip (BASELINE.json config[3] scale)
   mixed        one DTW + one NN wakeword scored per stream per shift
   dtw_nogate   dtw_max with avg_threshold 0: gate disabled, full compute
-  dtw_many     4 wakewords x 10 templates — past the v4/v3 SMEM template
-               guard, so the per-shift v2 fallback kernel path is measured
+  dtw_many     4 wakewords x 10 templates — past the SMEM template guard,
+               so the per-wakeword chunked-v4 path is measured
                (reference: multiple add_wakeword, detector.rs:304-346)
 
 Reproducibility (VERDICT r3 weak #3): every scenario runs in a FRESH
@@ -136,6 +136,22 @@ def _run(name, wakewords, score_mode, B, T, avg_threshold=0.2):
     def stepfn():
         holder["s"], _ = det.process_chunk(det.params, holder["s"], frames)
         return holder["s"]
+
+    # sanity guard: on pure-noise input no scenario should mass-fire —
+    # a numerically broken scoring path (e.g. the round-4 dotm-precision
+    # regression: silence scoring 0.9999) would otherwise still post a
+    # great-looking throughput number
+    holder0 = {"s": det.init_states()}
+    fired_frac = 0.0
+    for _ in range(3):
+        holder0["s"], ev = det.process_chunk(det.params, holder0["s"], frames)
+    import jax as _jax
+    _jax.block_until_ready(holder0["s"])
+    fired_frac = float(np.asarray(ev.fired).mean())
+    scores_ok = bool(np.isfinite(np.asarray(ev.score)).all())
+    assert fired_frac < 0.5 and scores_ok, (
+        f"sanity guard: fired_frac={fired_frac} finite={scores_ok}"
+    )
 
     ops = trace_kernel_us(stepfn, (), 12, top=8)
     dev_us = max(
