@@ -805,8 +805,13 @@ def _nn_scores_chunk(static: StepStatic, params: StepParams,
     # kernel's layout) was measured 1.8x SLOWER (949 -> 1700 us/chunk at
     # nn_medium) — the (3, h1, g, 8, 128) einsum output layout defeats the
     # single big GEMM. The raw (F, C, B) contraction wins even when a mixed
-    # config pays one extra window relayout.
-    main = jnp.einsum("shfc,fcb->shb", w1m3, win_t, precision=prec)
+    # config pays one extra window relayout. Expressed as an explicit 2-D
+    # GEMM: merging (f, c) is a free bitcast in the window's natural
+    # {F-major, C, B-minor} layout, where the 2-contracting-dim einsum made
+    # XLA relayout the whole window into a C-major order.
+    main = jnp.matmul(
+        w1m3.reshape(3 * h1, F * C), win_t.reshape(F * C, B), precision=prec
+    ).reshape(3, h1, B)
     corr = [jnp.zeros((h1, B), jnp.float32) for _ in range(3)]
     for s in range(3):
         for j0 in range(s + 1):
