@@ -185,26 +185,49 @@ def resample_chunk_np(
     return y[:n_out] + overlap, y[n_out:].copy()
 
 
+def resample_matrix(fft_size_in: int, fft_size_out: int) -> np.ndarray:
+    """The per-chunk FFT-OLA resample as ONE dense (2·n_out, n_in) matrix.
+
+    y_full = IRFFT_{2n_out}(trunc(RFFT_{2n_in}(pad(chunk)) · filter_f)) is
+    linear in the chunk, so the whole chain (forward FFT, spectral filter,
+    truncation, inverse FFT, un-normalization) composes into a single
+    matrix, computed here in f64 by pushing the identity basis through the
+    reference chain. Uses the golden-identified f32 table when one exists
+    for the shape (matching the host oracle), else the designed filter."""
+    n_in, n_out = fft_size_in, fft_size_out
+    table = _load_identified_table(n_in, n_out)
+    if table is not None:
+        filter_f = (
+            table[0].astype(np.float64) + 1j * table[1].astype(np.float64)
+        )
+    else:
+        filter_f = np.fft.rfft(design_filter(n_in, n_out))
+    basis = np.zeros((n_in, 2 * n_in))
+    np.fill_diagonal(basis, 1.0)
+    spec = np.fft.rfft(basis) * filter_f[None, :]
+    y = np.fft.irfft(spec[:, : n_out + 1], 2 * n_out) * (2.0 * n_out)
+    return y.T.copy()  # (2*n_out, n_in): y_full = M @ chunk
+
+
 def make_jax_resampler(fft_size_in: int, fft_size_out: int):
     """In-graph (on-chip) resampler for the batched runtime.
 
     Returns resample(overlap, chunk) -> (new_overlap, out):
       overlap: (..., n_out) carried state; chunk: (..., n_in) f32.
-    Same construction as the host path; rides XLA's FFT (TPU-supported).
-    """
+
+    TPU-native: the whole FFT-OLA chunk transform is ONE MXU GEMM against
+    the precomposed (2·n_out, n_in) matrix (see resample_matrix) — XLA's
+    TPU FFT lowering measured 4.6 ms/chunk at B=8192 for the 2880/960
+    pair where the GEMM form does the identical linear map in ~0.3 ms.
+    HIGHEST precision keeps f32-level accuracy of the map."""
+    import jax
     import jax.numpy as jnp
 
-    filter_f = np.fft.rfft(design_filter(fft_size_in, fft_size_out)).astype(
-        np.complex64
-    )
+    M_t = jnp.asarray(resample_matrix(fft_size_in, fft_size_out).T)  # (n_in, 2n_out)
     n_out = fft_size_out
 
     def resample(overlap, chunk):
-        buf = jnp.concatenate(
-            [chunk, jnp.zeros(chunk.shape[:-1] + (fft_size_in,), chunk.dtype)], axis=-1
-        )
-        spec = jnp.fft.rfft(buf) * filter_f
-        y = jnp.fft.irfft(spec[..., : n_out + 1], 2 * n_out) * jnp.float32(2 * n_out)
+        y = jnp.matmul(chunk, M_t, precision=jax.lax.Precision.HIGHEST)
         return y[..., n_out:], y[..., :n_out] + overlap
 
     return resample

@@ -13,6 +13,9 @@ per-path regressions are visible:
   dtw_many     4 wakewords x 10 templates — past the SMEM template guard,
                so the per-wakeword chunked-v4 path is measured
                (reference: multiple add_wakeword, detector.rs:304-346)
+  dtw_48k      dtw_max with 48 kHz input and in_graph_resample=True: the
+               on-chip FFT-OLA resampler (XLA rFFT) runs inside the jitted
+               chunk (1440 raw samples/frame; encoder.rs:63-102 parity)
 
 Reproducibility (VERDICT r3 weak #3): every scenario runs in a FRESH
 SUBPROCESS (no run-order variance), and the PRIMARY number is the
@@ -100,11 +103,12 @@ def _nn_wakeword():
     )
 
 
-def _run(name, wakewords, score_mode, B, T, avg_threshold=0.2):
+def _run(name, wakewords, score_mode, B, T, avg_threshold=0.2,
+         sample_rate=16000):
     import jax
     import jax.numpy as jnp
 
-    from rustpotter_tpu import RustpotterConfig
+    from rustpotter_tpu import RustpotterConfig, SampleFormat
     from rustpotter_tpu.runtime.batch import BatchedDetector
     from kernel_probe import trace_kernel_us
 
@@ -113,8 +117,16 @@ def _run(name, wakewords, score_mode, B, T, avg_threshold=0.2):
     cfg = RustpotterConfig()
     cfg.detector.score_mode = score_mode
     cfg.detector.avg_threshold = avg_threshold
-    det = BatchedDetector(wakewords, cfg, batch_size=B)
-    frames = jnp.asarray(rng.normal(0, 0.05, (B, 480)).astype(np.float32))
+    in_graph = sample_rate != 16000
+    if in_graph:
+        cfg.fmt.sample_rate = sample_rate
+        cfg.fmt.sample_format = SampleFormat.F32
+        cfg.fmt.channels = 1
+    det = BatchedDetector(
+        wakewords, cfg, batch_size=B, in_graph_resample=in_graph
+    )
+    n_in = det.static.input_samples
+    frames = jnp.asarray(rng.normal(0, 0.05, (B, n_in)).astype(np.float32))
 
     # --- wall clock, seq-grouped dispatch (same convention as bench.py)
     fseq = jnp.broadcast_to(frames[None], (seq,) + frames.shape)
@@ -203,6 +215,10 @@ def scenario_table(B, T):
             "dtw_many", _many_dtw_wakewords(), ScoreMode.MAX,
             min(B, 4096), T,
         ),
+        "dtw_48k": lambda: _run(
+            "dtw_48k", [("w", _dtw_wakeword())], ScoreMode.MAX, B, T,
+            sample_rate=48000,
+        ),
         "mixed": lambda: _run(
             "mixed",
             [("w", _dtw_wakeword()), ("m", _nn_wakeword())],
@@ -218,7 +234,7 @@ def main():
     T = int(os.environ.get("BENCH_CHUNKS", "34"))
     all_names = [
         "dtw_max", "dtw_median", "nn_medium", "dtw_10k", "dtw_nogate",
-        "dtw_many", "mixed",
+        "dtw_many", "dtw_48k", "mixed",
     ]
     picked = [a for a in sys.argv[1:] if not a.startswith("--")] or all_names
     unknown = [n for n in picked if n not in all_names]
