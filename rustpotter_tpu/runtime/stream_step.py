@@ -932,11 +932,19 @@ def make_batched_chunk(static: StepStatic):
         cat = jnp.concatenate(
             [states.ext_buf, shifts.reshape(B, 3 * SAMPLES_PER_SHIFT)], axis=-1
         )  # (B, 960)
-        bufs = jnp.stack(
-            [cat[:, 160:640], cat[:, 320:800], cat[:, 480:960]], axis=1
-        )  # (B, 3, 480)
         consts = frontend.get_constants(C + 1)
-        mfcc3 = frontend.mfcc_from_frames(bufs, consts)  # (B, 3, C)
+        # MFCC per shift straight off `cat` slices — stacking a (B, 3, 480)
+        # buffer first materialized 47 MB per chunk for no reason
+        mfcc3 = jnp.stack(
+            [
+                frontend.mfcc_from_frames(
+                    jax.lax.slice_in_dim(cat, 160 * s, 160 * s + 480, axis=1),
+                    consts,
+                )
+                for s in range(3)
+            ],
+            axis=1,
+        )  # (B, 3, C)
         states = states._replace(ext_buf=cat[:, 480:])
         new_t = jnp.transpose(mfcc3, (1, 2, 0))  # (3, C, B)
 

@@ -61,8 +61,8 @@ def _dtw_wakeword():
 
 def _many_dtw_wakewords(n_ww: int = 4, k: int = 10):
     """Template volume past the 256 KiB SMEM guard: (n_ww*k + n_ww) pairs x
-    100 x 16 f32 = 281 KiB at (4, 10) -> the batched chunk takes the
-    per-shift fallback with the ungated v2 kernel."""
+    100 x 16 f32 = 281 KiB at (4, 10) -> the batched chunk takes
+    per-wakeword chunked v4 calls (gating preserved)."""
     from rustpotter_tpu.wakewords.files import WakewordRef
 
     out = []
