@@ -659,8 +659,7 @@ def fused_dtw_chunk_v4_tiled(
     dotm5 = jnp.einsum(
         "plc,spcguv->splguv", templates, means5,
         precision=jax.lax.Precision.HIGHEST,
-    )  # (3, P, Lm, g, 8, 128) — HIGH: ~1e-7 relative on dotm, ~1e-6 on
-    # scores via (dot - dotm)·rwn; inside every documented tolerance band
+    )  # (3, P, Lm, g, 8, 128)
     lens_arr = jnp.concatenate([
         jnp.asarray(np.asarray(lens, np.int32)),
         jnp.asarray([B], jnp.int32),

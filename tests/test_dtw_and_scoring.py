@@ -331,8 +331,9 @@ def test_chunk_group_split_matches_fallback(monkeypatch):
         # the gate's kernel-side tile skip is conservative vs the per-stream
         # score-domain comparison: where the fallback says detected, the
         # grouped path must agree; scores compared where both computed
-        both = np.asarray(w_det) & np.asarray(g_det)
-        np.testing.assert_array_equal(np.asarray(g_det) & both, both)
+        w_det_np, g_det_np = np.asarray(w_det), np.asarray(g_det)
+        np.testing.assert_array_equal(w_det_np & g_det_np, w_det_np)
+        both = w_det_np & g_det_np
         np.testing.assert_allclose(
             np.asarray(g_sc)[both], np.asarray(w_sc)[both], rtol=2e-5, atol=2e-5
         )
