@@ -209,6 +209,14 @@ def resample_matrix(fft_size_in: int, fft_size_out: int) -> np.ndarray:
     return y.T.copy()  # (2*n_out, n_in): y_full = M @ chunk
 
 
+# Matmul precision of the on-chip resample GEMM. r5 experiment
+# (tools/resample_precision_probe.py, recorded in docs/PERF.md): HIGH
+# (3-pass bf16) vs HIGHEST on the (n_in, 2·n_out) matrix — waveform delta,
+# the ok_casa 48 kHz NN golden counters/logits, and the trailing-silence
+# no-fire guard decide which ships. Module-level so the probe can A/B it.
+GEMM_PRECISION = "HIGHEST"
+
+
 def make_jax_resampler(fft_size_in: int, fft_size_out: int):
     """In-graph (on-chip) resampler for the batched runtime.
 
@@ -218,8 +226,7 @@ def make_jax_resampler(fft_size_in: int, fft_size_out: int):
     TPU-native: the whole FFT-OLA chunk transform is ONE MXU GEMM against
     the precomposed (2·n_out, n_in) matrix (see resample_matrix) — XLA's
     TPU FFT lowering measured 4.6 ms/chunk at B=8192 for the 2880/960
-    pair where the GEMM form does the identical linear map in ~0.3 ms.
-    HIGHEST precision keeps f32-level accuracy of the map."""
+    pair where the GEMM form does the identical linear map in ~0.3 ms."""
     import jax
     import jax.numpy as jnp
 
@@ -227,7 +234,8 @@ def make_jax_resampler(fft_size_in: int, fft_size_out: int):
     n_out = fft_size_out
 
     def resample(overlap, chunk):
-        y = jnp.matmul(chunk, M_t, precision=jax.lax.Precision.HIGHEST)
+        prec = getattr(jax.lax.Precision, GEMM_PRECISION)
+        y = jnp.matmul(chunk, M_t, precision=prec)
         return y[..., n_out:], y[..., :n_out] + overlap
 
     return resample

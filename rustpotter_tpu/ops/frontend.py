@@ -38,7 +38,15 @@ F32_MIN_POSITIVE = np.float32(1.1754943508222875e-38)  # f32::MIN_POSITIVE
 
 # Matmul precision for the front-end GEMMs: HIGHEST keeps true-f32 accumulation
 # on the MXU (6-pass bf16 decomposition), required for golden-score parity.
+# The batched serving chunk passes HIGH (3-pass bf16) instead: the r5 on-chip
+# measurement over 553 golden-wav frames (tools/mfcc_precision_probe.py) puts
+# HIGH at 5.9e-5 of the mfcc range vs CPU-f32 (HIGHEST: 7.3e-6) — the on-chip
+# e2e golden suite (tools/tpu_parity.py) passes with this tier, and the DTW
+# cosine stays a true cosine of the (noisy) window (dot and dotm derive from
+# the SAME mfcc values), so silence windows cannot manufacture detections the
+# way the r4 dotm-precision regression did.
 _PRECISION = jax.lax.Precision.HIGHEST
+_PRECISION_SERVING = jax.lax.Precision.HIGH
 
 
 def hamming_window(n: int = SAMPLES_PER_FRAME) -> np.ndarray:
@@ -151,18 +159,23 @@ def pre_emphasis(shifts: jnp.ndarray) -> jnp.ndarray:
     return shifts - jnp.float32(MFCCS_EXTRACTOR_PRE_EMPHASIS) * prev
 
 
-def mfcc_from_frames(frames: jnp.ndarray, consts: FrontendConstants) -> jnp.ndarray:
+def mfcc_from_frames(
+    frames: jnp.ndarray, consts: FrontendConstants, precision=None
+) -> jnp.ndarray:
     """frames: (..., 480) pre-emphasized sample frames → (..., n-1) MFCCs.
 
     Two MXU GEMMs (windowed DFT), a mel GEMM, log, and a DCT GEMM. The first
-    cepstral coefficient is dropped (extractor.rs:84-85).
-    """
-    re = jnp.matmul(frames, consts.dft_cos, precision=_PRECISION)
-    im = jnp.matmul(frames, consts.dft_sin, precision=_PRECISION)
+    cepstral coefficient is dropped (extractor.rs:84-85). `precision` defaults
+    to the HIGHEST parity tier; the serving chunk passes _PRECISION_SERVING
+    (see the tier note at the top of this file)."""
+    if precision is None:
+        precision = _PRECISION
+    re = jnp.matmul(frames, consts.dft_cos, precision=precision)
+    im = jnp.matmul(frames, consts.dft_sin, precision=precision)
     power = re * re + im * im  # |X[k]|^2 — reference squares the magnitude again
-    mel = jnp.matmul(power, jnp.asarray(consts.mel_fb_t), precision=_PRECISION)
+    mel = jnp.matmul(power, jnp.asarray(consts.mel_fb_t), precision=precision)
     logmel = jnp.log(mel + F32_MIN_POSITIVE)
-    mfcc = jnp.matmul(logmel, jnp.asarray(consts.dct_t), precision=_PRECISION)
+    mfcc = jnp.matmul(logmel, jnp.asarray(consts.dct_t), precision=precision)
     return mfcc[..., 1:]
 
 

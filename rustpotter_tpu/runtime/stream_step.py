@@ -695,14 +695,18 @@ def _dtw_scores_chunk(static: StepStatic, params: StepParams,
         # fused-vs-unfused band. On-chip golden e2e verified with this
         # setting (tools/tpu_parity.py). Single-stream parity path keeps
         # HIGHEST (_dtw_scores).
-        sums = jnp.einsum(
-            "spf,fcguv->spcguv", maskA, win5,
+        # 1/t folded into the (3, P, F) mask constants: the per-element
+        # (3, P, C, g, 8, 128) divide cost 16.5 us/chunk as its own fusion
+        # (r5 trace); scaling the tiny masks is free and perturbs the mean
+        # only by the ~6e-8 relative rounding of 1/t
+        inv_t = 1.0 / t_all.astype(jnp.float32)
+        means5 = jnp.einsum(
+            "spf,fcguv->spcguv", maskA * inv_t[None, :, None], win5,
             precision=jax.lax.Precision.HIGH,
         ) + jnp.einsum(
-            "spj,jcguv->spcguv", maskB, new5,
+            "spj,jcguv->spcguv", maskB * inv_t[None, :, None], new5,
             precision=jax.lax.Precision.HIGH,
         )
-        means5 = sums / t_all[None, :, None, None, None, None].astype(jnp.float32)
         gate_bounds = _avg_gate_bounds(static, params, a_lens)
         smem_budget = 256 * 1024  # template scalars live in SMEM (v3/v4)
         if (D * K + D) * Lm * C * 4 <= smem_budget:
@@ -711,27 +715,71 @@ def _dtw_scores_chunk(static: StepStatic, params: StepParams,
                 static.dtw_pair_lens, w, D, K, rot0, B,
             )  # (B, 3, P)
         else:
-            # big template sets: per-wakeword calls, K chunked so each
-            # call's SMEM templates and VMEM cost scratch stay bounded.
-            # Each chunk carries the wakeword's avg pair so the gate skip
-            # still applies (every chunk recomputes the cheap avg DP).
-            kc = max(1, min(12, smem_budget // (Lm * C * 4) - 1))
+            # big template sets: grouped launches — as many WHOLE wakewords
+            # per kernel call as the SMEM template budget and a VMEM
+            # working-set estimate allow (VERDICT r4 next#6; was one
+            # wakeword per launch), so the window DMA + linearize pass and
+            # launch overhead amortize over the group. Gating stays
+            # per-wakeword inside the kernel (D > 1 path of _kernel_v4).
+            per_pair = Lm * C * 4
             sims3 = jnp.zeros((B, 3, D * K + D), jnp.float32)
-            for d in range(D):
-                for k0 in range(0, K, kc):
-                    kn = min(kc, K - k0)
-                    idx = tuple(range(d * K + k0, d * K + k0 + kn)) + (D * K + d,)
+            F_ = win5.shape[0]
+            tile_b = 8 * 128 * 4
+
+            def vmem_need(n_ww, kk):
+                p = n_ww * (kk + 1)
+                return (
+                    2 * (F_ * C + 3 * C + p * C + p * Lm) * tile_b
+                    + (Lm * C + p * Lm + max(kk, 1) * Lm * 2 * w) * tile_b
+                    + 2 * p * tile_b
+                )
+
+            vmem_budget = 100 * 1024 * 1024
+            if (K + 1) * per_pair > smem_budget or vmem_need(1, K) > vmem_budget:
+                # single wakeword exceeds a launch: K-chunked calls, the avg
+                # pair carried in every chunk so the gate skip still applies
+                # (the cheap avg DP is recomputed per chunk — ~1/K overhead)
+                kc = max(1, min(12, smem_budget // per_pair - 1))
+                while kc > 1 and vmem_need(1, kc) > vmem_budget:
+                    kc -= 1
+                for d in range(D):
+                    for k0 in range(0, K, kc):
+                        kn = min(kc, K - k0)
+                        idx = tuple(range(d * K + k0, d * K + k0 + kn)) + (D * K + d,)
+                        ia = jnp.asarray(idx)
+                        sims_g = fused_dtw_chunk_v4_tiled(
+                            win5, new5, means5[:, ia], seq_a[ia, :, :],
+                            tnorms[ia, :], gate_bounds[d:d + 1],
+                            tuple(static.dtw_pair_lens[i] for i in idx),
+                            w, 1, kn, rot0, B,
+                        )  # (B, 3, kn + 1)
+                        sims3 = sims3.at[:, :, d * K + k0:d * K + k0 + kn].set(
+                            sims_g[:, :, :kn]
+                        )
+                        sims3 = sims3.at[:, :, D * K + d].set(sims_g[:, :, kn])
+            else:
+                per_launch = max(1, smem_budget // ((K + 1) * per_pair))
+                while per_launch > 1 and vmem_need(per_launch, K) > vmem_budget:
+                    per_launch -= 1
+                for g0 in range(0, D, per_launch):
+                    ds = tuple(range(g0, min(D, g0 + per_launch)))
+                    idx = tuple(d * K + k for d in ds for k in range(K)) + tuple(
+                        D * K + d for d in ds
+                    )
                     ia = jnp.asarray(idx)
                     sims_g = fused_dtw_chunk_v4_tiled(
                         win5, new5, means5[:, ia], seq_a[ia, :, :],
-                        tnorms[ia, :], gate_bounds[d:d + 1],
+                        tnorms[ia, :], gate_bounds[jnp.asarray(ds)],
                         tuple(static.dtw_pair_lens[i] for i in idx),
-                        w, 1, kn, rot0, B,
-                    )  # (B, 3, kn + 1)
-                    sims3 = sims3.at[:, :, d * K + k0:d * K + k0 + kn].set(
-                        sims_g[:, :, :kn]
+                        w, len(ds), K, rot0, B,
+                    )  # (B, 3, len(ds)*K + len(ds))
+                    nG = len(ds) * K
+                    sims3 = sims3.at[:, :, g0 * K:g0 * K + nG].set(
+                        sims_g[:, :, :nG]
                     )
-                    sims3 = sims3.at[:, :, D * K + d].set(sims_g[:, :, kn])
+                    sims3 = sims3.at[:, :, D * K + g0:D * K + g0 + len(ds)].set(
+                        sims_g[:, :, nG:]
+                    )
         return [
             jax.vmap(lambda sm: _dtw_post(static, params, sm))(sims3[:, s])
             for s in range(3)
@@ -934,12 +982,18 @@ def make_batched_chunk(static: StepStatic):
         )  # (B, 960)
         consts = frontend.get_constants(C + 1)
         # MFCC per shift straight off `cat` slices — stacking a (B, 3, 480)
-        # buffer first materialized 47 MB per chunk for no reason
+        # buffer first materialized 47 MB per chunk for no reason. Serving
+        # precision tier (HIGH): the 6 DFT GEMMs were 380 us/chunk of the
+        # dtw_max step at HIGHEST (r5 trace), halved at HIGH; measured
+        # Δmfcc 5.9e-5 of range on golden audio with the on-chip e2e suite
+        # green (tools/mfcc_precision_probe.py; tier note in
+        # ops/frontend.py). Single-stream path keeps HIGHEST.
         mfcc3 = jnp.stack(
             [
                 frontend.mfcc_from_frames(
                     jax.lax.slice_in_dim(cat, 160 * s, 160 * s + 480, axis=1),
                     consts,
+                    precision=frontend._PRECISION_SERVING,
                 )
                 for s in range(3)
             ],
@@ -977,8 +1031,19 @@ def make_batched_chunk(static: StepStatic):
             )
             halted = halted | fired
 
-        # --- circular-window writes (unconditional; see section comment)
-        win = states.win
+        # --- circular-window writes (unconditional; see section comment).
+        # With NN heads present, an optimization barrier orders every read
+        # of the old window (NN old-row slices, means einsums) before the 3
+        # row writes: without it XLA fused an NN old-row dynamic_slice with
+        # the update-slice and lost in-place-ness, rewriting the full
+        # (F, C, B) window every chunk (88 MB, 137-550 us/chunk in the r5
+        # nn_medium and mixed traces). DTW-only configs skip the barrier —
+        # their update is already in-place and the barrier only added a
+        # ~75 us async window copy (r5 A/B trace).
+        if static.nn_meta:
+            win, event = jax.lax.optimization_barrier((states.win, event))
+        else:
+            win = states.win
         for s in range(3):
             win = jax.lax.dynamic_update_slice(
                 win, new_t[s][None], (slots[s], 0, 0)

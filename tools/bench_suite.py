@@ -215,6 +215,17 @@ def scenario_table(B, T):
             "dtw_many", _many_dtw_wakewords(), ScoreMode.MAX,
             min(B, 4096), T,
         ),
+        # fleet-scaling curve (VERDICT r4 next#6): 10 and 20 wakewords x 10
+        # templates through the grouped launch packer (3 wakewords = 33
+        # pairs per kernel call under the 256 KiB SMEM template budget)
+        "dtw_many10": lambda: _run(
+            "dtw_many10", _many_dtw_wakewords(10, 10), ScoreMode.MAX,
+            min(B, 4096), T,
+        ),
+        "dtw_many20": lambda: _run(
+            "dtw_many20", _many_dtw_wakewords(20, 10), ScoreMode.MAX,
+            min(B, 4096), T,
+        ),
         "dtw_48k": lambda: _run(
             "dtw_48k", [("w", _dtw_wakeword())], ScoreMode.MAX, B, T,
             sample_rate=48000,
@@ -234,7 +245,7 @@ def main():
     T = int(os.environ.get("BENCH_CHUNKS", "34"))
     all_names = [
         "dtw_max", "dtw_median", "nn_medium", "dtw_10k", "dtw_nogate",
-        "dtw_many", "dtw_48k", "mixed",
+        "dtw_many", "dtw_many10", "dtw_many20", "dtw_48k", "mixed",
     ]
     picked = [a for a in sys.argv[1:] if not a.startswith("--")] or all_names
     unknown = [n for n in picked if n not in all_names]

@@ -58,6 +58,18 @@ def main():
         return holder["s"]
 
     res = trace_kernel_us(stepfn, (), 20, top=30)
+    # dump the HLO of the exact program traced (same jit object -> cache hit,
+    # identical instruction names) so trace rows map to real tensors
+    try:
+        txt = det.process_chunk.lower(
+            det.params, holder["s"], frames
+        ).compile().as_text()
+        hlo_path = f"/tmp/steptrace_hlo_{scenario}_{B}.txt"
+        with open(hlo_path, "w") as f:
+            f.write(txt)
+        print(f"HLO -> {hlo_path}")
+    except Exception as e:  # pragma: no cover - diagnostic only
+        print(f"(HLO dump failed: {e})")
     total = 0.0
     print(f"scenario={scenario} B={B} — top device ops, us per step:")
     for name, us in res.items():

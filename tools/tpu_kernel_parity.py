@@ -182,6 +182,46 @@ def main():
         osh = np.asarray(banded_dtw_batch(cc, lens6_b, w)).reshape(B6, P6)
         np.testing.assert_allclose(v4b[:, s], osh, rtol=3e-6, atol=2e-4)
     print("6. v4 at the dtw_many group shape (P=11) OK")
+
+    # 7. v4 at the GROUPED fleet-launch shape (3 wakewords packed per
+    # launch, D=3, K=10, P=33 — the largest launch the r5 grouped packer
+    # emits for 10/20-wakeword fleets), gate disabled so every pair computes
+    B7 = min(B, 2048)
+    D7, K7 = 3, 10
+    P7 = D7 * K7 + D7
+    lens7 = tuple(100 - 2 * (i % 5) for i in range(D7 * K7)) + (100,) * D7
+    t7 = jnp.asarray(rng.normal(0, 1, (P7, Lm, C)).astype(np.float32))
+    n7 = jnp.sum(t7 * t7, axis=-1)
+    w7 = jnp.asarray(rng.normal(0, 1, (F, C, B7)).astype(np.float32))
+    nw7 = jnp.asarray(rng.normal(0, 1, (3, C, B7)).astype(np.float32))
+    m7 = jnp.asarray(rng.normal(0, 0.2, (3, P7, C, B7)).astype(np.float32))
+    v4c = np.asarray(
+        jax.jit(
+            lambda a, b_, c: fused_dtw_chunk_v4(
+                a, b_, c, t7, n7, jnp.full((D7,), np.inf, jnp.float32),
+                lens7, w, D7, K7, rot0
+            )
+        )(w7, nw7, m7)
+    )
+    virt7 = np.asarray(w7).copy()
+    lens7_b = jnp.asarray(
+        np.broadcast_to(np.asarray(lens7, np.int32), (B7, P7)).reshape(-1)
+    )
+    for s in range(3):
+        slot = (rot0 + 1 + s) % F
+        virt7[slot] = np.asarray(nw7)[s]
+        rot_s = (rot0 + s + 1) % F
+        order = [(rot_s + 1 + i) % F for i in range(Lm)]
+        lin = np.transpose(virt7[order], (2, 0, 1))
+        nw_ = lin[:, None, :, :] - np.transpose(np.asarray(m7)[s], (2, 0, 1))[:, :, None, :]
+        cc = band_costs(
+            jnp.asarray(np.broadcast_to(np.asarray(t7), (B7, P7, Lm, C))).reshape(B7 * P7, Lm, C),
+            jnp.asarray(nw_).reshape(B7 * P7, Lm, C),
+            w,
+        )
+        osh = np.asarray(banded_dtw_batch(cc, lens7_b, w)).reshape(B7, P7)
+        np.testing.assert_allclose(v4c[:, s], osh, rtol=3e-6, atol=2e-4)
+    print("7. v4 at the grouped fleet-launch shape (D=3, P=33) OK")
     print(f"KERNEL PARITY OK on {jax.default_backend()} B={B}")
 
 
