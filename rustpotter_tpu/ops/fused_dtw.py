@@ -53,6 +53,14 @@ INF = float("inf")
 SUBLANES = 8
 LANES = 128
 
+# Template scalars the v3/v4 kernels may place in SMEM per launch. Measured
+# on v5e (r5, tools/tpu_kernel_parity.py check 7 compile probe): SMEM is
+# 1 MiB per core and Mosaic pads scalar-array elements to 32 bytes, so the
+# hard cap is 32768 f32 values; 30000 leaves margin for the lens/gate SMEM
+# operands. Launches beyond this must split (runtime/stream_step.py groups
+# whole wakewords per launch under this budget).
+SMEM_TEMPLATE_VALUES = 30000
+
 
 def _check_band(band: int) -> None:
     """The DP phase harvests the similarity at band slot w+1 (the padded

@@ -176,8 +176,10 @@ def _dtw_scores(static: StepStatic, params: StepParams, win: jnp.ndarray,
         means_all = jnp.concatenate([means.reshape(D * K, C), a_means])
         tnorms = jnp.sum(seq_a * seq_a, axis=-1)
         # template SMEM footprint guards the v3 kernel (huge template sets
-        # fall back to the ungated v2)
-        smem_ok = (D * K + D) * Lm * C * 4 <= 256 * 1024
+        # fall back to the ungated v2); the limit is the MEASURED v5e SMEM
+        # capacity in padded scalar values (fused_dtw.SMEM_TEMPLATE_VALUES)
+        from ..ops.fused_dtw import SMEM_TEMPLATE_VALUES
+        smem_ok = (D * K + D) * Lm * C <= SMEM_TEMPLATE_VALUES
         if static.dtw_fused_variant >= 3 and smem_ok:
             from ..ops.fused_dtw import make_fused_scorer_v3
 
@@ -708,8 +710,12 @@ def _dtw_scores_chunk(static: StepStatic, params: StepParams,
             precision=jax.lax.Precision.HIGH,
         )
         gate_bounds = _avg_gate_bounds(static, params, a_lens)
-        smem_budget = 256 * 1024  # template scalars live in SMEM (v3/v4)
-        if (D * K + D) * Lm * C * 4 <= smem_budget:
+        # template scalars live in SMEM (v3/v4); measured v5e capacity in
+        # padded scalar VALUES (see fused_dtw.SMEM_TEMPLATE_VALUES — the
+        # r4-era 256 KiB byte guard both under- and over-estimated it)
+        from ..ops.fused_dtw import SMEM_TEMPLATE_VALUES
+        smem_values = SMEM_TEMPLATE_VALUES
+        if (D * K + D) * Lm * C <= smem_values:
             sims3 = fused_dtw_chunk_v4_tiled(
                 win5, new5, means5, seq_a, tnorms, gate_bounds,
                 static.dtw_pair_lens, w, D, K, rot0, B,
@@ -721,7 +727,7 @@ def _dtw_scores_chunk(static: StepStatic, params: StepParams,
             # wakeword per launch), so the window DMA + linearize pass and
             # launch overhead amortize over the group. Gating stays
             # per-wakeword inside the kernel (D > 1 path of _kernel_v4).
-            per_pair = Lm * C * 4
+            per_pair = Lm * C  # SMEM template values per pair
             sims3 = jnp.zeros((B, 3, D * K + D), jnp.float32)
             F_ = win5.shape[0]
             tile_b = 8 * 128 * 4
@@ -735,11 +741,11 @@ def _dtw_scores_chunk(static: StepStatic, params: StepParams,
                 )
 
             vmem_budget = 100 * 1024 * 1024
-            if (K + 1) * per_pair > smem_budget or vmem_need(1, K) > vmem_budget:
+            if (K + 1) * per_pair > smem_values or vmem_need(1, K) > vmem_budget:
                 # single wakeword exceeds a launch: K-chunked calls, the avg
                 # pair carried in every chunk so the gate skip still applies
                 # (the cheap avg DP is recomputed per chunk — ~1/K overhead)
-                kc = max(1, min(12, smem_budget // per_pair - 1))
+                kc = max(1, min(12, smem_values // per_pair - 1))
                 while kc > 1 and vmem_need(1, kc) > vmem_budget:
                     kc -= 1
                 for d in range(D):
@@ -758,7 +764,7 @@ def _dtw_scores_chunk(static: StepStatic, params: StepParams,
                         )
                         sims3 = sims3.at[:, :, D * K + d].set(sims_g[:, :, kn])
             else:
-                per_launch = max(1, smem_budget // ((K + 1) * per_pair))
+                per_launch = max(1, smem_values // ((K + 1) * per_pair))
                 while per_launch > 1 and vmem_need(per_launch, K) > vmem_budget:
                     per_launch -= 1
                 for g0 in range(0, D, per_launch):

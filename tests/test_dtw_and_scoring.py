@@ -303,7 +303,8 @@ def test_chunk_group_split_matches_fallback(monkeypatch):
     cfg.detector.avg_threshold = 0.2
     static, params = build_bundle(wws, cfg)
     D, K, Lm, C = static.n_dtw, static.kmax, static.lmax, static.mfcc_size
-    assert (D * K + D) * Lm * C * 4 > 256 * 1024  # genuinely past the guard
+    from rustpotter_tpu.ops.fused_dtw import SMEM_TEMPLATE_VALUES
+    assert (D * K + D) * Lm * C > SMEM_TEMPLATE_VALUES  # genuinely past the guard
     params = jax.tree_util.tree_map(jnp.asarray, params)
 
     F = static.max_mfcc_frames

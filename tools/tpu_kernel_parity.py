@@ -183,11 +183,16 @@ def main():
         np.testing.assert_allclose(v4b[:, s], osh, rtol=3e-6, atol=2e-4)
     print("6. v4 at the dtw_many group shape (P=11) OK")
 
-    # 7. v4 at the GROUPED fleet-launch shape (3 wakewords packed per
-    # launch, D=3, K=10, P=33 — the largest launch the r5 grouped packer
-    # emits for 10/20-wakeword fleets), gate disabled so every pair computes
+    # 7. v4 at the GROUPED fleet-launch shape (2 wakewords packed per
+    # launch, D=2, K=8, P=18 = 28 800 SMEM template values — the largest
+    # launch the r5 grouped packer emits under the MEASURED v5e SMEM cap of
+    # ~32K padded scalar values; a P=33 attempt compile-fails with
+    # "Allocation (size=1691648) would exceed memory (size=1048576)",
+    # which is the 1 MiB SMEM / 32 B-per-element evidence the
+    # fused_dtw.SMEM_TEMPLATE_VALUES budget is set from), gate disabled so
+    # every pair computes
     B7 = min(B, 2048)
-    D7, K7 = 3, 10
+    D7, K7 = 2, 8
     P7 = D7 * K7 + D7
     lens7 = tuple(100 - 2 * (i % 5) for i in range(D7 * K7)) + (100,) * D7
     t7 = jnp.asarray(rng.normal(0, 1, (P7, Lm, C)).astype(np.float32))
