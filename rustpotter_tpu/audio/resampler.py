@@ -210,11 +210,13 @@ def resample_matrix(fft_size_in: int, fft_size_out: int) -> np.ndarray:
 
 
 # Matmul precision of the on-chip resample GEMM. r5 experiment
-# (tools/resample_precision_probe.py, recorded in docs/PERF.md): HIGH
-# (3-pass bf16) vs HIGHEST on the (n_in, 2·n_out) matrix — waveform delta,
-# the ok_casa 48 kHz NN golden counters/logits, and the trailing-silence
-# no-fire guard decide which ships. Module-level so the probe can A/B it.
-GEMM_PRECISION = "HIGHEST"
+# (tools/resample_precision_probe.py): HIGH vs HIGHEST measured
+# BIT-IDENTICAL resampled waveforms on ok_casa 48 kHz (max abs 0.0 over
+# 356 chunks) and e2e NN logits within 7e-4 with equal counters — the
+# feared ±8-logit silence amplification does not materialize because both
+# precisions resolve this (1440-contraction) GEMM to the same arithmetic
+# here. HIGH ships; module-level so the probe can A/B it.
+GEMM_PRECISION = "HIGH"
 
 
 def make_jax_resampler(fft_size_in: int, fft_size_out: int):

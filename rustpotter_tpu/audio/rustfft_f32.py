@@ -48,7 +48,25 @@ def tw(index: int, fft_len: int, fwd: bool = True) -> tuple[np.float32, np.float
     return F32(math.cos(angle)), F32(math.sin(angle))
 
 
+# r5 bounded SIMD experiment (VERDICT r4 next #7): rustfft's AVX codepath
+# multiplies complex pairs with _mm256_fmaddsub_ps — one operand product is
+# rounded (vmulps), the other is FUSED into the add/sub (single rounding):
+#   re = fused(ar*br - rnd(ai*bi)),  im = fused(ar*bi + rnd(ai*br)).
+# "avx" emulates that contraction (f64 holds the f32 product exactly; the
+# residual double-rounding mismatch vs a true FMA is ~2^-29-rare, far below
+# the 16-19% bit-exactness scale the ANOVA measures). None = scalar builds'
+# mul+add. Flipped by tools/rubato_fit.py --fma-cmul.
+FMA_CMUL = None
+
+
 def cmul(ar, ai, br, bi):
+    if FMA_CMUL == "avx":
+        t1 = ai * bi  # f32 ops round per-element already (vmulps)
+        t2 = ai * br
+        ar64, br64, bi64 = (np.asarray(x, np.float64) for x in (ar, br, bi))
+        re = np.asarray(ar64 * br64 - np.asarray(t1, np.float64), F32)
+        im = np.asarray(ar64 * bi64 + np.asarray(t2, np.float64), F32)
+        return re, im
     return ar * br - ai * bi, ar * bi + ai * br
 
 

@@ -72,9 +72,12 @@ def run_e2e(precision: str):
         sc = np.asarray(ev.scores)[t[0], 0]
         out["logits"] = [round(float(x), 4) for x in sc[:2]]
         out["logit_margin"] = round(float(sc[0] - sc[1]), 4)
-        # trailing-silence no-fire guard: the wav is ~len(wav) samples; any
-        # detection after its end came from resample-noise on silence
-        wav_chunks = len(np.asarray(wav)) // n_in + 2
+        # trailing-silence no-fire guard: a legitimate detection emits up to
+        # window + countdown frames after the word (the partial countdown
+        # spans ~F/2 30 ms chunks); only fires well past that horizon are
+        # resample-noise on digital silence
+        F = det.static.max_mfcc_frames
+        wav_chunks = len(np.asarray(wav)) // n_in + F
         out["fires_in_silence"] = int((t > wav_chunks).sum())
     return out
 

@@ -122,6 +122,9 @@ def main():
     if "--cfft-f64" in sys.argv:
         ro.CFFT_F64 = True
         print("complex FFTs inside realfft wrappers: f64-rounded")
+    if "--fma-cmul" in sys.argv:
+        ro.FMA_CMUL = "avx"
+        print("cmul: AVX fmaddsub contraction (r5 SIMD experiment)")
     fwd_f64 = "--fwd-f64" in sys.argv
     inv_f64 = "--inv-f64" in sys.argv
     if fwd_f64 or inv_f64:

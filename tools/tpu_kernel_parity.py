@@ -226,7 +226,7 @@ def main():
         )
         osh = np.asarray(banded_dtw_batch(cc, lens7_b, w)).reshape(B7, P7)
         np.testing.assert_allclose(v4c[:, s], osh, rtol=3e-6, atol=2e-4)
-    print("7. v4 at the grouped fleet-launch shape (D=3, P=33) OK")
+    print("7. v4 at the grouped fleet-launch shape (D=2, K=8, P=18) OK")
     print(f"KERNEL PARITY OK on {jax.default_backend()} B={B}")
 
 
