@@ -154,11 +154,15 @@ def main():
 
     B = int(os.environ.get("BENCH_STREAMS", "8192"))
     T = int(os.environ.get("BENCH_CHUNKS", "34"))  # ~1 s of audio per stream
-    # chunks per dispatch (see timed_loop): default 8 = 240 ms dispatch
-    # granularity. The bench tunnel adds ~3.7 ms of RPC overhead per
+    # chunks per dispatch (see timed_loop): default 16 = 480 ms dispatch
+    # granularity. The bench tunnel adds several ms of RPC overhead per
     # dispatch that a colocated serving host does not see (device-op time
-    # per chunk is unchanged — tools/step_trace.py); grouping amortizes it.
-    SEQ = int(os.environ.get("BENCH_SEQ", "8"))
+    # per chunk is unchanged — tools/step_trace.py); grouping amortizes it
+    # (r5 sweep at B=8192: wall 64.8k/69.7k/72.7k streams at SEQ 8/16/32
+    # vs 84.3k device-bound). This is a THROUGHPUT metric; the serving
+    # latency/grouping trade is recorded in BENCH_SUITE.md's latency
+    # section, and the recommended colocated serving config is seq=1.
+    SEQ = int(os.environ.get("BENCH_SEQ", "16"))
 
     ww, utterance = build_bench_wakeword()
     cfg = RustpotterConfig()
