@@ -276,10 +276,23 @@ def test_fused_v4_chunk_matches_per_shift_oracle():
         )
 
 
-def test_chunk_group_split_matches_fallback(monkeypatch):
-    """Big template sets (past the SMEM guard) take per-wakeword chunked v4
-    calls with the avg pair replicated per chunk (gating preserved). The
-    grouped path must reproduce the virt-window per-stream fallback."""
+import pytest
+
+
+@pytest.mark.parametrize(
+    "n_ww,k",
+    [
+        (4, 10),  # per-wakeword whole launches (per_launch = 1)
+        (3, 8),   # grouped packing: 2 wakewords share a launch
+        (1, 25),  # single wakeword past the budget: K-chunked calls
+    ],
+)
+def test_chunk_group_split_matches_fallback(monkeypatch, n_ww, k):
+    """Big template sets (past the SMEM guard) split into grouped launches
+    (whole wakewords packed per call) or, when one wakeword alone exceeds
+    the budget, K-chunked calls with the avg pair replicated per chunk
+    (gating preserved). Every split shape must reproduce the virt-window
+    per-stream fallback."""
     import rustpotter_tpu.ops.fused_dtw as fd
     from rustpotter_tpu import RustpotterConfig, ScoreMode
     from rustpotter_tpu.runtime.bundle import build_bundle
@@ -287,11 +300,11 @@ def test_chunk_group_split_matches_fallback(monkeypatch):
     from rustpotter_tpu.wakewords.files import WakewordRef
 
     wws = []
-    for w in range(4):
+    for w in range(n_ww):
         rng = np.random.default_rng(70 + w)
         feats = {
             f"s{i}.wav": rng.normal(0, 2, (100 - 2 * (i % 5), 16)).astype(np.float32)
-            for i in range(10)
+            for i in range(k)
         }
         wws.append((f"w{w}", WakewordRef(
             name=f"w{w}", samples_features=feats,
