@@ -211,6 +211,19 @@ def scenario_table(B, T):
             "dtw_nogate", [("w", _dtw_wakeword())], ScoreMode.MAX, B, T,
             avg_threshold=0.0,
         ),
+        # gate ACTIVE and failing on the noise streams (avg_threshold 0.8):
+        # the idle-fleet serving cost — the reference's early abort
+        # (wakeword_comp.rs:85-94) as the v4 kernel's per-tile skip. This is
+        # the common production regime (most streams match no wakeword most
+        # of the time); dtw_max/dtw_nogate are the worst case.
+        "dtw_gated": lambda: _run(
+            "dtw_gated", [("w", _dtw_wakeword())], ScoreMode.MAX, B, T,
+            avg_threshold=0.8,
+        ),
+        "dtw_many20_gated": lambda: _run(
+            "dtw_many20_gated", _many_dtw_wakewords(20, 10), ScoreMode.MAX,
+            min(B, 4096), T, avg_threshold=0.8,
+        ),
         "dtw_many": lambda: _run(
             "dtw_many", _many_dtw_wakewords(), ScoreMode.MAX,
             min(B, 4096), T,
@@ -245,7 +258,8 @@ def main():
     T = int(os.environ.get("BENCH_CHUNKS", "34"))
     all_names = [
         "dtw_max", "dtw_median", "nn_medium", "dtw_10k", "dtw_nogate",
-        "dtw_many", "dtw_many10", "dtw_many20", "dtw_48k", "mixed",
+        "dtw_gated", "dtw_many", "dtw_many10", "dtw_many20",
+        "dtw_many20_gated", "dtw_48k", "mixed",
     ]
     picked = [a for a in sys.argv[1:] if not a.startswith("--")] or all_names
     unknown = [n for n in picked if n not in all_names]
