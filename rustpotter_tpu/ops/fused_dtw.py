@@ -424,7 +424,7 @@ def _kernel_v3(Lm, F, C, w, D, K, jch, lens_ref, means_ref, win_ref, tsm_ref,
                 out_ref[0, p] = inf_tile
 
 
-def _kernel_v4(Lm, F, C, w, D, K, jch, dp2, lens_ref, means_ref, win_ref,
+def _kernel_v4(Lm, F, C, w, D, K, jch, dpg, lens_ref, means_ref, win_ref,
                new_ref, tsm_ref, dotm_ref, gate_ref, out_ref, *scratch):
     """Whole-chunk variant of `_kernel_v3`: grid (stream tile g, shift s) —
     ONE kernel invocation scores all 3 MFCC shifts of a 30 ms chunk.
@@ -558,49 +558,52 @@ def _kernel_v4(Lm, F, C, w, D, K, jch, dp2, lens_ref, means_ref, win_ref,
         out_ref[0, 0, p] = result
         return result
 
-    def dp_phase2(i0, p0, i1, p1):
-        """Two pairs' banded DPs interleaved in ONE row loop: the min-prefix
-        chain over the band slots is a serial dependence (~2·(2w−1) ops of
-        ~1.55 c latency each per row) that a single pair cannot hide; two
-        independent chains give the scheduler work to overlap. Live state is
-        2·(2w+1) tiles — well under the v1 kernel's P·2w spill regime."""
-        n0, n1 = lens_ref[p0], lens_ref[p1]
+    def dp_phase_multi(ips):
+        """Several pairs' banded DPs interleaved in ONE row loop: the
+        min-prefix chain over the band slots is a serial dependence
+        (~2·(2w−1) ops of ~1.55 c latency each per row) that a single pair
+        cannot hide; independent chains give the scheduler work to overlap.
+        Live state is G·(2w+1) tiles. Measured at bench shapes (v5e,
+        kernel_probe --dpg=G): G=1 2246.6 µs/chunk, G=2 2147.4, G=3 2107.4,
+        G=5 2109.3 (flat past 3, no spill penalty even at 55 live tiles) —
+        default 3."""
+        G = len(ips)
+        ns = [lens_ref[p] for _, p in ips]
         z = tuple(
             jnp.zeros((SUBLANES, LANES), jnp.float32) if j == w else inf_tile
             for j in range(W2)
         )
 
         def dp_row(r, carry):
-            preva, resa, prevb, resb = carry
-            newa, newb = [], []
+            prevs, ress = carry
+            news = [[] for _ in range(G)]
             for j in range(W2):
                 cdp = r - w + j
-                ca = cost_s[i0][r - 1, j]
-                cb = cost_s[i1][r - 1, j]
-                va = (cdp >= 1) & (cdp <= jnp.minimum(n0, r + w - 1))
-                vb = (cdp >= 1) & (cdp <= jnp.minimum(n1, r + w - 1))
-                ca = jnp.where(va, ca, INF)
-                cb = jnp.where(vb, cb, INF)
-                insa = preva[j + 1] if j + 1 < W2 else inf_tile
-                insb = prevb[j + 1] if j + 1 < W2 else inf_tile
-                newa.append((ca, ca + jnp.minimum(insa, preva[j])))
-                newb.append((cb, cb + jnp.minimum(insb, prevb[j])))
+                for g_, (i, _p) in enumerate(ips):
+                    c = cost_s[i][r - 1, j]
+                    v = (cdp >= 1) & (cdp <= jnp.minimum(ns[g_], r + w - 1))
+                    c = jnp.where(v, c, INF)
+                    ins = prevs[g_][j + 1] if j + 1 < W2 else inf_tile
+                    news[g_].append((c, c + jnp.minimum(ins, prevs[g_][j])))
             for j in range(1, W2):
-                newa[j] = (newa[j][0],
-                           jnp.minimum(newa[j][1], newa[j][0] + newa[j - 1][1]))
-                newb[j] = (newb[j][0],
-                           jnp.minimum(newb[j][1], newb[j][0] + newb[j - 1][1]))
-            valsa = tuple(v for _, v in newa)
-            valsb = tuple(v for _, v in newb)
-            resa = jnp.where(r == n0 - 1, valsa[w + 1], resa)
-            resb = jnp.where(r == n1 - 1, valsb[w + 1], resb)
-            return (valsa, resa, valsb, resb)
+                for g_ in range(G):
+                    news[g_][j] = (
+                        news[g_][j][0],
+                        jnp.minimum(news[g_][j][1],
+                                    news[g_][j][0] + news[g_][j - 1][1]),
+                    )
+            vals = tuple(tuple(v for _, v in news[g_]) for g_ in range(G))
+            ress = tuple(
+                jnp.where(r == ns[g_] - 1, vals[g_][w + 1], ress[g_])
+                for g_ in range(G)
+            )
+            return (vals, ress)
 
-        _, ra, _, rb = jax.lax.fori_loop(
-            1, Lm + 1, dp_row, (z, inf_tile, z, inf_tile)
+        _, ress = jax.lax.fori_loop(
+            1, Lm + 1, dp_row, ((z,) * G, (inf_tile,) * G)
         )
-        out_ref[0, 0, p0] = ra
-        out_ref[0, 0, p1] = rb
+        for g_, (_i, p) in enumerate(ips):
+            out_ref[0, 0, p] = ress[g_]
 
     for d in range(D):
         ap = D * K + d
@@ -616,15 +619,20 @@ def _kernel_v4(Lm, F, C, w, D, K, jch, dp2, lens_ref, means_ref, win_ref,
             for p in tpl_pairs:
                 compute_rwn(p)
             cost_phase(tpl_pairs)
-            if dp2:
-                ips = list(enumerate(tpl_pairs))
-                for a in range(0, len(ips) - 1, 2):
-                    dp_phase2(*ips[a], *ips[a + 1])
-                if len(ips) % 2:
-                    dp_phase(*ips[-1])
-            else:
-                for i, p in enumerate(tpl_pairs):
+            G = max(1, int(dpg))
+            ips = list(enumerate(tpl_pairs))
+            if G <= 1:
+                for i, p in ips:
                     dp_phase(i, p)
+            else:
+                a = 0
+                while a < len(ips):
+                    grp = ips[a:a + G]
+                    if len(grp) == 1:
+                        dp_phase(*grp[0])
+                    else:
+                        dp_phase_multi(grp)
+                    a += G
 
         @pl.when(jnp.logical_not(any_pass))
         def _skip(tpl_pairs=tpl_pairs):
@@ -661,7 +669,7 @@ def fused_dtw_chunk_v4(
     rot0,
     interpret: bool = False,
     jch: int = 5,
-    dp2: bool = True,
+    dpg: int = 3,
 ) -> jnp.ndarray:
     """Whole-chunk v4 driver (untiled convenience entry — the batched
     runtime tiles once and calls fused_dtw_chunk_v4_tiled). win_t (F, C, B)
@@ -672,7 +680,7 @@ def fused_dtw_chunk_v4(
     return fused_dtw_chunk_v4_tiled(
         tile_streams(win_t, B), tile_streams(new_t, B),
         tile_streams(means3_t, B), templates, tnorms, gate_bounds,
-        lens, band, D, K, rot0, B, interpret=interpret, jch=jch, dp2=dp2,
+        lens, band, D, K, rot0, B, interpret=interpret, jch=jch, dpg=dpg,
     )
 
 
@@ -691,11 +699,11 @@ def fused_dtw_chunk_v4_tiled(
     B: int,
     interpret: bool = False,
     jch: int = 5,
-    dp2: bool = True,
+    dpg: int = 3,
 ) -> jnp.ndarray:
     """Tiled v4 entry: win5 (F, C, g, 8, 128), new5 (3, C, g, 8, 128),
     means5 (3, P, C, g, 8, 128) — see tile_streams. Returns sims (B, 3, P).
-    dp2 interleaves template-pair DPs two at a time (see _kernel_v4)."""
+    dpg = DP interleave group size (see _kernel_v4 dp_phase_multi; 2 measured best-known)."""
     F, C, n_tiles = win5.shape[0], win5.shape[1], win5.shape[2]
     Lm = templates.shape[1]
     P = means5.shape[1]
@@ -786,7 +794,7 @@ def fused_dtw_chunk_v4_tiled(
     except TypeError:
         compiler_params = pltpu.TPUCompilerParams(vmem_limit_bytes=vmem_limit)
     out = pl.pallas_call(
-        partial(_kernel_v4, Lm, F, C, w, D, K, jch, dp2),
+        partial(_kernel_v4, Lm, F, C, w, D, K, jch, dpg),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (n_tiles, 3, P, SUBLANES, LANES), jnp.float32
