@@ -467,15 +467,24 @@ def _kernel_v4(Lm, F, C, w, D, K, jch, dpg, lens_ref, means_ref, win_ref,
     # --- linearize the virtual window for shift s. Columns below F-3 can
     # never be new rows (ns <= 3) — static fori_loop of bulk loads; the last
     # <=3 columns select new_ref[i - (F - ns)] when that index is >= 0.
+    # 4 columns per iteration (same latency-hiding unroll as compute_rwn;
+    # a static tail covers lim % 4).
     lim = min(max(F - 3, 0), Lm)
+    UL = 4
 
-    def lin_body(c, _):
+    def lin_one(c):
         ph = rot_s + 1 + c
         ph = jnp.where(ph >= F, ph - F, ph)
         lin_s[c] = win_ref[ph, :, 0]
+
+    def lin_body(cb, _):
+        for u in range(UL):
+            lin_one(cb * UL + u)
         return 0
 
-    jax.lax.fori_loop(0, lim, lin_body, 0)
+    jax.lax.fori_loop(0, lim // UL, lin_body, 0)
+    for c in range(lim - lim % UL, lim):
+        lin_one(c)
     for i in range(lim, Lm):
         ph = rot_s + 1 + i
         ph = jnp.where(ph >= F, ph - F, ph)
@@ -490,16 +499,28 @@ def _kernel_v4(Lm, F, C, w, D, K, jch, dpg, lens_ref, means_ref, win_ref,
     )
     lane_valid = (g * (SUBLANES * LANES) + iota) < lens_ref[P]
 
-    def compute_rwn(p):
+    def compute_rwn(p, U=8):
+        # U columns per iteration: each column's square-sum is a dependent
+        # add tree + rsqrt; independent trees per body give the scheduler
+        # latency-hiding work (same trick as dp_phase_multi). Measured at
+        # bench shapes (dpg=3): U=1 2107.4, U=2 1863.0, U=4 1786.2 µs
+        # kernel/chunk. Static tail covers Lm % U.
         m = means_ref[0, p, :, 0]  # (C, 8, 128)
 
-        def cbody(c, _):
+        def one(c):
             d = lin_s[c] - m
             wn2 = jnp.sum(d * d, axis=0)
             rwn_s[p][c] = jnp.where(wn2 == 0.0, 0.0, jax.lax.rsqrt(wn2))
+
+        def cbody(cb, _):
+            c0 = cb * U
+            for u in range(U):
+                one(c0 + u)
             return 0
 
-        jax.lax.fori_loop(0, Lm, cbody, 0)
+        jax.lax.fori_loop(0, Lm // U, cbody, 0)
+        for c in range(Lm - Lm % U, Lm):
+            one(c)
 
     def cost_phase(pairs):
         np_ = len(pairs)
