@@ -522,10 +522,10 @@ def _kernel_v4(Lm, F, C, w, D, K, jch, dpg, lens_ref, means_ref, win_ref,
         for c in range(Lm - Lm % U, Lm):
             one(c)
 
-    def cost_phase(pairs):
+    def cost_phase(pairs, UR=2):
         np_ = len(pairs)
 
-        def cost_row(r, _):
+        def one_row(r):
             wcl = [jnp.clip(r - w + j - 1, 0, Lm - 1) for j in range(W2)]
             for j0 in range(0, W2, jch):
                 jj_n = min(jch, W2 - j0)
@@ -544,9 +544,17 @@ def _kernel_v4(Lm, F, C, w, D, K, jch, dpg, lens_ref, means_ref, win_ref,
                             (accs[i][jj] - dotm_ref[0, p, r - 1, 0])
                             * rwn_s[p][wcl[j0 + jj]]
                         )
+
+        # UR rows per iteration (latency-hiding unroll like compute_rwn;
+        # static tail) — rows are independent
+        def cost_row(rb, _):
+            for u in range(UR):
+                one_row(1 + rb * UR + u)
             return 0
 
-        jax.lax.fori_loop(1, Lm + 1, cost_row, 0)
+        jax.lax.fori_loop(0, Lm // UR, cost_row, 0)
+        for r in range(Lm - Lm % UR + 1, Lm + 1):
+            one_row(r)
 
     inf_tile = jnp.full((SUBLANES, LANES), INF, jnp.float32)
 
