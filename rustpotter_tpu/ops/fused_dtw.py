@@ -272,7 +272,11 @@ def _kernel_v2(Lm, C, w, P, jch, lens_ref, means_ref, templates_ref,
 
 def _kernel_v3(Lm, F, C, w, D, K, jch, lens_ref, means_ref, win_ref, tsm_ref,
                dotm_ref, gate_ref, out_ref, *scratch):
-    """Gated three-improvement variant of `_kernel_v2` (v5e probe numbers in
+    """Gated three-improvement variant of `_kernel_v2`. NOTE: the r5
+    latency-hiding unrolls (DP interleave, rwn/linearize/cost-row unrolls)
+    live in `_kernel_v4` only — the serving chunk's kernel; v3 is retained
+    as the per-shift A/B reference and the non-chunk batched API's backend.
+    (v5e probe numbers in
     tools/vpu_probe.py motivate each):
 
       1. template scalars come from SMEM (tsm_ref, (P*Lm, C)): a (1x1) VMEM
@@ -732,7 +736,7 @@ def fused_dtw_chunk_v4_tiled(
 ) -> jnp.ndarray:
     """Tiled v4 entry: win5 (F, C, g, 8, 128), new5 (3, C, g, 8, 128),
     means5 (3, P, C, g, 8, 128) — see tile_streams. Returns sims (B, 3, P).
-    dpg = DP interleave group size (see _kernel_v4 dp_phase_multi; 2 measured best-known)."""
+    dpg = DP interleave group size (see _kernel_v4 dp_phase_multi; 3 ships)."""
     F, C, n_tiles = win5.shape[0], win5.shape[1], win5.shape[2]
     Lm = templates.shape[1]
     P = means5.shape[1]
