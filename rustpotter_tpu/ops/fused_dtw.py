@@ -428,7 +428,7 @@ def _kernel_v3(Lm, F, C, w, D, K, jch, lens_ref, means_ref, win_ref, tsm_ref,
                 out_ref[0, p] = inf_tile
 
 
-def _kernel_v4(Lm, F, C, w, D, K, jch, dpg, lens_ref, means_ref, win_ref,
+def _kernel_v4(Lm, F, C, w, D, K, jch, dpg, dik, lens_ref, means_ref, win_ref,
                new_ref, tsm_ref, dotm_ref, gate_ref, out_ref, *scratch):
     """Whole-chunk variant of `_kernel_v3`: grid (stream tile g, shift s) —
     ONE kernel invocation scores all 3 MFCC shifts of a 30 ms chunk.
@@ -458,9 +458,11 @@ def _kernel_v4(Lm, F, C, w, D, K, jch, dpg, lens_ref, means_ref, win_ref,
     """
     W2 = 2 * w
     P = D * K + D
+    KB = max(K, 1)
     lin_s = scratch[0]
     rwn_s = scratch[1:P + 1]
-    cost_s = scratch[P + 1:]
+    cost_s = scratch[P + 1:P + 1 + KB]
+    dotm_s = scratch[P + 1 + KB:]  # dik mode: per-template-pair dotm
     g = pl.program_id(0)
     s = pl.program_id(1)
     ns = s + 1  # number of new rows visible at this shift
@@ -526,8 +528,10 @@ def _kernel_v4(Lm, F, C, w, D, K, jch, dpg, lens_ref, means_ref, win_ref,
         for c in range(Lm - Lm % U, Lm):
             one(c)
 
-    def cost_phase(pairs, UR=2):
+    def cost_phase(pairs, dget=None, UR=2):
         np_ = len(pairs)
+        if dget is None:
+            dget = lambda i, p, r: dotm_ref[0, p, r - 1, 0]
 
         def one_row(r):
             wcl = [jnp.clip(r - w + j - 1, 0, Lm - 1) for j in range(W2)]
@@ -545,7 +549,7 @@ def _kernel_v4(Lm, F, C, w, D, K, jch, dpg, lens_ref, means_ref, win_ref,
                 for jj in range(jj_n):
                     for i, p in enumerate(pairs):
                         cost_s[i][r - 1, j0 + jj] = 1.0 - (
-                            (accs[i][jj] - dotm_ref[0, p, r - 1, 0])
+                            (accs[i][jj] - dget(i, p, r))
                             * rwn_s[p][wcl[j0 + jj]]
                         )
 
@@ -638,10 +642,36 @@ def _kernel_v4(Lm, F, C, w, D, K, jch, dpg, lens_ref, means_ref, win_ref,
         for g_, (_i, p) in enumerate(ips):
             out_ref[0, 0, p] = ress[g_]
 
+    def compute_dotm(i, p, UD=4):
+        """dik mode: dot(T'[r], m_p) per row into dotm_s[i] — the same f32
+        FMA chain the v1 kernel used, but with ~2-cycle SMEM template loads
+        (v3 mechanism) and UD rows per body (latency-hiding unroll). Runs
+        only under the gate's pl.when, so idle-fleet tiles skip it AND the
+        host-side dotm einsum/relayout for template pairs disappears."""
+        m = means_ref[0, p, :, 0]  # (C, 8, 128)
+
+        def one(r):
+            acc = tsm_ref[p * Lm + r, 0] * m[0]
+            for c in range(1, C):
+                acc = acc + tsm_ref[p * Lm + r, c] * m[c]
+            dotm_s[i][r] = acc
+
+        def rbody(rb, _):
+            for u in range(UD):
+                one(rb * UD + u)
+            return 0
+
+        jax.lax.fori_loop(0, Lm // UD, rbody, 0)
+        for r in range(Lm - Lm % UD, Lm):
+            one(r)
+
     for d in range(D):
         ap = D * K + d
         compute_rwn(ap)
-        cost_phase((ap,))
+        # dik: dotm_ref carries ONLY the D avg pairs (index d, not ap)
+        avg_dget = (lambda i, p, r, d=d: dotm_ref[0, d, r - 1, 0]) if dik \
+            else None
+        cost_phase((ap,), dget=avg_dget)
         avg_sim = dp_phase(0, ap)
         gated = jnp.where(lane_valid, avg_sim, INF)
         any_pass = jnp.any(gated <= gate_ref[d])
@@ -651,7 +681,13 @@ def _kernel_v4(Lm, F, C, w, D, K, jch, dpg, lens_ref, means_ref, win_ref,
         def _compute(d=d, tpl_pairs=tpl_pairs):
             for p in tpl_pairs:
                 compute_rwn(p)
-            cost_phase(tpl_pairs)
+            if dik:
+                for i, p in enumerate(tpl_pairs):
+                    compute_dotm(i, p)
+                cost_phase(tpl_pairs,
+                           dget=lambda i, p, r: dotm_s[i][r - 1])
+            else:
+                cost_phase(tpl_pairs)
             G = max(1, int(dpg))
             ips = list(enumerate(tpl_pairs))
             if G <= 1:
@@ -703,6 +739,7 @@ def fused_dtw_chunk_v4(
     interpret: bool = False,
     jch: int = 5,
     dpg: int = 3,
+    dik: bool = True,
 ) -> jnp.ndarray:
     """Whole-chunk v4 driver (untiled convenience entry — the batched
     runtime tiles once and calls fused_dtw_chunk_v4_tiled). win_t (F, C, B)
@@ -714,6 +751,7 @@ def fused_dtw_chunk_v4(
         tile_streams(win_t, B), tile_streams(new_t, B),
         tile_streams(means3_t, B), templates, tnorms, gate_bounds,
         lens, band, D, K, rot0, B, interpret=interpret, jch=jch, dpg=dpg,
+        dik=dik,
     )
 
 
@@ -733,10 +771,15 @@ def fused_dtw_chunk_v4_tiled(
     interpret: bool = False,
     jch: int = 5,
     dpg: int = 3,
+    dik: bool = True,
 ) -> jnp.ndarray:
     """Tiled v4 entry: win5 (F, C, g, 8, 128), new5 (3, C, g, 8, 128),
     means5 (3, P, C, g, 8, 128) — see tile_streams. Returns sims (B, 3, P).
-    dpg = DP interleave group size (see _kernel_v4 dp_phase_multi; 3 ships)."""
+    dpg = DP interleave group size (see _kernel_v4 dp_phase_multi; 3 ships).
+    dik = template-pair dotm computed IN-KERNEL under the gate's pl.when
+    (see _kernel_v4.compute_dotm): the host-side dotm einsum + its 59 MB
+    relayout then cover only the D avg pairs, and idle-fleet (gated-out)
+    tiles skip the template dotm entirely."""
     F, C, n_tiles = win5.shape[0], win5.shape[1], win5.shape[2]
     Lm = templates.shape[1]
     P = means5.shape[1]
@@ -759,10 +802,14 @@ def fused_dtw_chunk_v4_tiled(
     # ~3e-4 abs at these magnitudes) turned 5 s of silence into
     # score-0.9999 false detections on-chip (caught by tools/tpu_parity.py);
     # HIGHEST (~1.3e-6 abs) matches the in-kernel f32 dot's accuracy.
+    # dik: only the AVG pairs' dotm is precomputed (template pairs compute
+    # theirs in-kernel with the same f32 FMA chain — HIGHEST-equivalent)
+    dsrc = means5[:, D * K:] if dik else means5
+    dtmp = templates[D * K:] if dik else templates
     dotm5 = jnp.einsum(
-        "plc,spcguv->splguv", templates, means5,
+        "plc,spcguv->splguv", dtmp, dsrc,
         precision=jax.lax.Precision.HIGHEST,
-    )  # (3, P, Lm, g, 8, 128)
+    )  # (3, D or P, Lm, g, 8, 128)
     lens_arr = jnp.concatenate([
         jnp.asarray(np.asarray(lens, np.int32)),
         jnp.asarray([B], jnp.int32),
@@ -790,7 +837,7 @@ def fused_dtw_chunk_v4_tiled(
         ),
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(
-            (1, P, Lm, 1, SUBLANES, LANES),
+            (1, D if dik else P, Lm, 1, SUBLANES, LANES),
             lambda g, s, lens: (s, 0, 0, g, 0, 0),
             memory_space=pltpu.VMEM,
         ),
@@ -803,7 +850,10 @@ def fused_dtw_chunk_v4_tiled(
     ] + [
         pltpu.VMEM((Lm, 2 * w, SUBLANES, LANES), jnp.float32)
         for _ in range(max(K, 1))
-    ]
+    ] + ([
+        pltpu.VMEM((Lm, SUBLANES, LANES), jnp.float32)
+        for _ in range(max(K, 1))
+    ] if dik else [])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles, 3),
@@ -817,7 +867,7 @@ def fused_dtw_chunk_v4_tiled(
     )
     tile_b = SUBLANES * LANES * 4
     need = (
-        2 * (F * C + 3 * C + P * C + P * Lm) * tile_b  # in blocks, dbl-buffered
+        2 * (F * C + 3 * C + P * C + (D if dik else P) * Lm) * tile_b
         + sum(int(np.prod(sh.shape)) * 4 for sh in scratch_shapes)
         + 2 * P * tile_b
     )
@@ -827,7 +877,7 @@ def fused_dtw_chunk_v4_tiled(
     except TypeError:
         compiler_params = pltpu.TPUCompilerParams(vmem_limit_bytes=vmem_limit)
     out = pl.pallas_call(
-        partial(_kernel_v4, Lm, F, C, w, D, K, jch, dpg),
+        partial(_kernel_v4, Lm, F, C, w, D, K, jch, dpg, dik),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (n_tiles, 3, P, SUBLANES, LANES), jnp.float32

@@ -60,12 +60,15 @@ def main():
     variant = 1 if "--v1" in opts else (2 if "--v2" in opts else (4 if "--v4" in opts else 3))
     gate = "--gate" in opts  # v3: bound that no random stream passes
     jch = 5
-    dpg = 2
+    dpg = 3
+    dik = True
     for o in opts:
         if o.startswith("--jch="):
             jch = int(o.split("=")[1])
         if o.startswith("--dpg="):
             dpg = int(o.split("=")[1])
+        if o.startswith("--dik="):
+            dik = bool(int(o.split("=")[1]))
     import jax
     import jax.numpy as jnp
 
@@ -93,10 +96,10 @@ def main():
         fn = jax.jit(
             lambda w_, n_, m_: fused_dtw_chunk_v4(
                 w_, n_, m_, templates, tnorms, bounds, lens, w, D, K,
-                jnp.int32(Lm - 2), jch=jch, dpg=dpg,
+                jnp.int32(Lm - 2), jch=jch, dpg=dpg, dik=dik,
             )
         )
-        print(f"variant=4 jch={jch} dpg={dpg} B={B} gate={gate} (time = 3 shifts)")
+        print(f"variant=4 jch={jch} dpg={dpg} dik={dik} B={B} gate={gate} (time = 3 shifts)")
         for name, us in trace_kernel_us(fn, (win_t, new_t, means3), N).items():
             print(f"{us:10.1f} us/call  {name[:90]}")
         return
