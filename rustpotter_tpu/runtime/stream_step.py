@@ -733,10 +733,19 @@ def _dtw_scores_chunk(static: StepStatic, params: StepParams,
             tile_b = 8 * 128 * 4
 
             def vmem_need(n_ww, kk):
+                # mirrors fused_dtw_chunk_v4_tiled's `need`: dotm input
+                # blocks cover only the avg pairs (dik), but the kernel
+                # carries max(kk,1) extra dotm scratch buffers
                 p = n_ww * (kk + 1)
+                scratch = (
+                    Lm * C  # linearized window
+                    + p * Lm  # rwn buffers
+                    + max(kk, 1) * Lm * 2 * w  # cost band buffers
+                    + max(kk, 1) * Lm  # dik dotm buffers
+                )
                 return (
-                    2 * (F_ * C + 3 * C + p * C + p * Lm) * tile_b
-                    + (Lm * C + p * Lm + max(kk, 1) * Lm * 2 * w) * tile_b
+                    2 * (F_ * C + 3 * C + p * C + n_ww * Lm) * tile_b
+                    + scratch * tile_b
                     + 2 * p * tile_b
                 )
 
